@@ -1,0 +1,244 @@
+"""Relative pose estimation: batched RANSAC over (pairs × hypotheses).
+
+TPU-native replacement for the reference's per-pair OpenCV RANSAC fanned out
+over a thread pool (``processors/relpose_estimation.py:38-98``).  All pairs of
+a config group are estimated in ONE jitted call: fixed hypothesis budget,
+masked padded match arrays, vmapped 8-point + Sampson scoring, then a
+locally-optimized re-estimation from inliers (LO-RANSAC) which substitutes for
+OpenCV's adaptive iteration count.
+
+Behavior parity (reference ``estimate_pair_relative_pose_opencv``):
+* E estimated for every pair on undistorted z=1 coords, threshold 1e-3;
+* UNCALIBRATED pairs additionally estimate F on pixel coords (3 px) and use
+  F's inliers; PLANAR/PANORAMIC pairs use H's inliers (3 px);
+* final pose from cheirality voting over the chosen inlier set
+  (cv2.recoverPose equivalent);
+* pairs whose config is not estimable are invalidated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantsfm_tpu.math import epipolar, lie
+from instantsfm_tpu.scene import cameras as cam_models
+from instantsfm_tpu.scene.types import (CONFIG_CALIBRATED, CONFIG_PANORAMIC,
+                                        CONFIG_PLANAR,
+                                        CONFIG_PLANAR_OR_PANORAMIC,
+                                        CONFIG_UNCALIBRATED, Cameras, Images,
+                                        ViewGraph)
+
+_ESTIMABLE = (CONFIG_PLANAR, CONFIG_PANORAMIC, CONFIG_PLANAR_OR_PANORAMIC,
+              CONFIG_UNCALIBRATED, CONFIG_CALIBRATED)
+
+
+def undistort_images(cameras: Cameras, images: Images, dtype=jnp.float64) -> None:
+    """Compute unit bearings for every keypoint (reference
+    ``processors/image_undistortion.py`` + ``UndistortImages`` call sites).
+
+    One fused batched call over all keypoints of all images.
+    """
+    if images.num_images == 0:
+        return
+    model_id = cameras.uniform_model_id
+    kp_img = np.repeat(np.arange(images.num_images),
+                       np.diff(images.kp_offset))
+    params_per_kp = cameras.params[images.cam_idx[kp_img]]
+    b = cam_models.bearing_from_img(model_id, jnp.asarray(params_per_kp, dtype),
+                                    jnp.asarray(images.kp_xy, dtype))
+    images.kp_bearing = np.asarray(b, np.float64)
+
+
+# ------------------------------------------------------------- jitted cores
+
+@partial(jax.jit, static_argnames=("num_hyps", "essential"))
+def _ransac_fundamental_like(x1, x2, valid, key, num_hyps: int, thresh_sq,
+                             *, essential: bool):
+    """Shared RANSAC core for E (normalized coords) / F (pixels).
+
+    x1, x2: [P, M, 2]; valid: [P, M]. Returns (F [P,3,3], inliers [P,M])."""
+    P, M, _ = x1.shape
+    counts = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+    u = jax.random.uniform(key, (P, num_hyps, 8))
+    idx = jnp.minimum((u * counts[:, None, None]).astype(jnp.int32), M - 1)
+
+    s1 = jnp.take_along_axis(x1[:, None, :, 0], idx, axis=-1)
+    s1 = jnp.stack([s1, jnp.take_along_axis(x1[:, None, :, 1], idx, axis=-1)], -1)
+    s2 = jnp.take_along_axis(x2[:, None, :, 0], idx, axis=-1)
+    s2 = jnp.stack([s2, jnp.take_along_axis(x2[:, None, :, 1], idx, axis=-1)], -1)
+    smask = jnp.ones(idx.shape, bool)
+
+    F_h = jax.vmap(jax.vmap(epipolar.eight_point, in_axes=(0, 0, 0, None)),
+                   in_axes=(0, 0, 0, None))(s1, s2, smask, essential)
+    err = epipolar.sampson_error(F_h, x1[:, None], x2[:, None])    # [P,H,M]
+    inl = (err < thresh_sq) & valid[:, None]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores, axis=-1)
+    F = jnp.take_along_axis(F_h, best[:, None, None, None], axis=1)[:, 0]
+    inliers = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+
+    # local optimization: re-estimate from inliers, twice
+    def lo(_, carry):
+        F, inliers = carry
+        F = epipolar.eight_point(x1, x2, inliers, essential)
+        err = epipolar.sampson_error(F, x1, x2)
+        new_inl = (err < thresh_sq) & valid
+        better = jnp.sum(new_inl, -1) > jnp.sum(inliers, -1)
+        F_keep = jnp.where(better[:, None, None], F, carry[0])
+        inl_keep = jnp.where(better[:, None], new_inl, inliers)
+        return F_keep, inl_keep
+
+    F, inliers = jax.lax.fori_loop(0, 2, lo, (F, inliers))
+    return F, inliers
+
+
+@partial(jax.jit, static_argnames=("num_hyps",))
+def _ransac_homography(x1, x2, valid, key, num_hyps: int, thresh_sq):
+    P, M, _ = x1.shape
+    counts = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    u = jax.random.uniform(key, (P, num_hyps, 4))
+    idx = jnp.minimum((u * counts[:, None, None]).astype(jnp.int32), M - 1)
+    s1 = jnp.stack([jnp.take_along_axis(x1[:, None, :, 0], idx, axis=-1),
+                    jnp.take_along_axis(x1[:, None, :, 1], idx, axis=-1)], -1)
+    s2 = jnp.stack([jnp.take_along_axis(x2[:, None, :, 0], idx, axis=-1),
+                    jnp.take_along_axis(x2[:, None, :, 1], idx, axis=-1)], -1)
+    smask = jnp.ones(idx.shape, bool)
+    H_h = jax.vmap(jax.vmap(epipolar.homography_dlt))(s1, s2, smask)
+    err = epipolar.homography_error(H_h, x1[:, None], x2[:, None])
+    inl = (err < thresh_sq) & valid[:, None]
+    best = jnp.argmax(jnp.sum(inl, -1), axis=-1)
+    H = jnp.take_along_axis(H_h, best[:, None, None, None], axis=1)[:, 0]
+    inliers = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    H2 = epipolar.homography_dlt(x1, x2, inliers)
+    err2 = epipolar.homography_error(H2, x1, x2)
+    inl2 = (err2 < thresh_sq) & valid
+    better = jnp.sum(inl2, -1) > jnp.sum(inliers, -1)
+    H = jnp.where(better[:, None, None], H2, H)
+    inliers = jnp.where(better[:, None], inl2, inliers)
+    return H, inliers
+
+
+@jax.jit
+def _final_pose(E, b1, b2, sel_mask):
+    """cv2.recoverPose equivalent on the selected inliers (unit bearings)."""
+    Rm, t, pass_mask = jax.vmap(epipolar.recover_pose)(E, b1, b2, sel_mask)
+    q = lie.matrix_to_quat(Rm)
+    return q, t, pass_mask
+
+
+# ----------------------------------------------------------------- stage API
+
+def _bucket(n, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)):
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(2 ** np.ceil(np.log2(max(n, 1))))
+
+
+def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
+                           images: Images, num_hyps: int = 1024,
+                           seed: int = 0, dtype=jnp.float64,
+                           chunk_pairs: int = 256) -> None:
+    """Estimate (R, t, inliers) for every valid pair; updates view_graph in
+    place (qvec/tvec/E_mat/F_mat/H_mat/inlier_mask/valid)."""
+    if images.kp_bearing is None:
+        undistort_images(cameras, images, dtype)
+
+    cfg = view_graph.config
+    estimable = np.isin(cfg, _ESTIMABLE)
+    view_graph.valid &= estimable
+
+    mcounts = view_graph.num_matches_per_pair()
+    pair_rows = np.nonzero(view_graph.valid & (mcounts >= 8))[0]
+    view_graph.valid &= (mcounts >= 8)
+    if len(pair_rows) == 0:
+        return
+
+    bearings = images.kp_bearing
+    uv_all = bearings[:, :2] / np.maximum(np.abs(bearings[:, 2:]), 1e-9) \
+        * np.sign(bearings[:, 2:])
+    key = jax.random.PRNGKey(seed)
+
+    # group rows by (bucketed match count) to bound recompiles
+    order = np.argsort(mcounts[pair_rows], kind="stable")
+    pair_rows = pair_rows[order]
+    groups = {}
+    for e in pair_rows:
+        groups.setdefault(_bucket(mcounts[e]), []).append(e)
+
+    for M, rows in sorted(groups.items()):
+        for lo_i in range(0, len(rows), chunk_pairs):
+            chunk = rows[lo_i:lo_i + chunk_pairs]
+            _process_chunk(view_graph, images, uv_all, np.array(chunk), M,
+                           num_hyps, key, dtype,
+                           pad_to=chunk_pairs if len(chunk) < chunk_pairs else None)
+            key = jax.random.split(key, 1)[0]
+
+
+def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
+                   pad_to=None):
+    P = pad_to if pad_to else len(rows)
+    x1_pix = np.zeros((P, M, 2))
+    x2_pix = np.zeros((P, M, 2))
+    x1_norm = np.zeros((P, M, 2))
+    x2_norm = np.zeros((P, M, 2))
+    b1 = np.zeros((P, M, 3))
+    b2 = np.zeros((P, M, 3))
+    valid = np.zeros((P, M), bool)
+    for k, e in enumerate(rows):
+        m = view_graph.pair_matches(e)
+        i, j = view_graph.pair_i[e], view_graph.pair_j[e]
+        f1 = images.kp_offset[i] + m[:, 0]
+        f2 = images.kp_offset[j] + m[:, 1]
+        n = len(m)
+        x1_pix[k, :n] = images.kp_xy[f1]
+        x2_pix[k, :n] = images.kp_xy[f2]
+        x1_norm[k, :n] = uv_all[f1]
+        x2_norm[k, :n] = uv_all[f2]
+        b1[k, :n] = images.kp_bearing[f1]
+        b2[k, :n] = images.kp_bearing[f2]
+        valid[k, :n] = True
+
+    jd = lambda a: jnp.asarray(a, dtype)
+    key_e, key_f, key_h = jax.random.split(key, 3)
+    E, e_inl = _ransac_fundamental_like(jd(x1_norm), jd(x2_norm),
+                                        jnp.asarray(valid), key_e, num_hyps,
+                                        jnp.asarray(1e-3**2, dtype),
+                                        essential=True)
+
+    cfgs = view_graph.config[rows]
+    sel_inl = np.array(e_inl)
+
+    uncal = np.nonzero(cfgs == CONFIG_UNCALIBRATED)[0]
+    if len(uncal):
+        F, f_inl = _ransac_fundamental_like(
+            jd(x1_pix[uncal]), jd(x2_pix[uncal]), jnp.asarray(valid[uncal]),
+            key_f, num_hyps, jnp.asarray(3.0**2, dtype), essential=False)
+        view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
+        sel_inl[uncal] = np.asarray(f_inl)
+
+    planar = np.nonzero(np.isin(cfgs, (CONFIG_PLANAR, CONFIG_PANORAMIC,
+                                       CONFIG_PLANAR_OR_PANORAMIC)))[0]
+    if len(planar):
+        H, h_inl = _ransac_homography(
+            jd(x1_pix[planar]), jd(x2_pix[planar]), jnp.asarray(valid[planar]),
+            key_h, num_hyps, jnp.asarray(3.0**2, dtype))
+        view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
+        sel_inl[planar] = np.asarray(h_inl)
+
+    q, t, pass_mask = _final_pose(E, jd(b1), jd(b2), jnp.asarray(sel_inl))
+
+    n_real = len(rows)
+    view_graph.E_mat[rows] = np.asarray(E, np.float64)[:n_real]
+    view_graph.qvec[rows] = np.asarray(q, np.float64)[:n_real]
+    view_graph.tvec[rows] = np.asarray(t, np.float64)[:n_real]
+    final_inl = np.asarray(pass_mask)
+    for k, e in enumerate(rows):
+        sl = slice(view_graph.match_offset[e], view_graph.match_offset[e + 1])
+        n = sl.stop - sl.start
+        view_graph.inlier_mask[sl] = final_inl[k, :n]
