@@ -1,0 +1,162 @@
+"""Global mapper: the pipeline driver (reference ``controllers/global_mapper.py``).
+
+Identical stage sequence and cadence:
+preprocess -> view-graph calibration -> relative pose + inlier filters + LCC ->
+2x (rotation averaging + rotation filter + LCC) -> track establishment ->
+global positioning + angle filter + normalize ->
+3x (BA + undistort + reproj filter with eps*max(1, 3-iter)) ->
+final filters + normalize -> [retriangulation] -> [pruning].
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from instantsfm_tpu.config import Config
+from instantsfm_tpu.pipeline import (ba, filters, positioning, preprocess,
+                                     relpose, rotation_averaging,
+                                     track_filters, tracks as tracks_mod, vgc)
+from instantsfm_tpu.scene.types import Cameras, Images, Tracks, ViewGraph
+
+
+class PipelineError(RuntimeError):
+    pass
+
+
+def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
+                        images: Images, config: Config,
+                        depths_available: bool = False, visualizer=None,
+                        dtype=jnp.float64, log=print):
+    opts = config.OPTIONS
+    tracks = Tracks.empty()
+    timings = {}
+
+    def _stage(name):
+        log("-------------------------------------")
+        log(f"Running {name} ...")
+        log("-------------------------------------")
+        return time.time()
+
+    def _viz(stage):
+        if visualizer is not None:
+            visualizer.add_step(cameras, images, tracks, stage)
+
+    if not opts["skip_preprocessing"]:
+        t0 = _stage("preprocessing")
+        preprocess.update_image_pairs_config(view_graph, cameras, images)
+        n_pure = preprocess.decompose_relpose(view_graph, cameras, images)
+        log(f"Decompose relative pose done. {n_pure} pairs are pure rotation.")
+        timings["preprocessing"] = time.time() - t0
+
+    if not opts["skip_view_graph_calibration"]:
+        t0 = _stage("view graph calibration")
+        vgc.solve_view_graph_calibration(
+            view_graph, cameras, images, config.VIEW_GRAPH_CALIBRATOR_OPTIONS,
+            dtype=dtype)
+        timings["view_graph_calibration"] = time.time() - t0
+
+    if not opts["skip_relative_pose_estimation"]:
+        t0 = _stage("relative pose estimation")
+        relpose.undistort_images(cameras, images, dtype)
+        relpose.estimate_relative_pose(view_graph, cameras, images, dtype=dtype)
+        n1 = filters.filter_inlier_num(
+            view_graph, config.INLIER_THRESHOLD_OPTIONS["min_inlier_num"])
+        n2 = filters.filter_inlier_ratio(
+            view_graph, config.INLIER_THRESHOLD_OPTIONS["min_inlier_ratio"])
+        log(f"Filtered {n1} pairs by inlier count, {n2} by inlier ratio")
+        if not view_graph.keep_largest_connected_component(images):
+            raise PipelineError("no connected component after relpose filtering")
+        timings["relative_pose_estimation"] = time.time() - t0
+
+    if not opts["skip_rotation_averaging"]:
+        t0 = _stage("rotation averaging")
+        for round_idx in range(2):
+            ok = rotation_averaging.estimate_rotations(
+                view_graph, images, config.ROTATION_ESTIMATOR_OPTIONS,
+                config.L1_SOLVER_OPTIONS, dtype=dtype)
+            if not ok:
+                raise PipelineError("rotation averaging failed")
+            filters.filter_rotations(
+                view_graph, images,
+                config.INLIER_THRESHOLD_OPTIONS["max_rotation_error"])
+            if not view_graph.keep_largest_connected_component(images):
+                raise PipelineError("failed to keep largest connected component")
+        n_reg = int(images.registered.sum())
+        log(f"{n_reg} / {images.num_images} images are within the connected component.")
+        timings["rotation_averaging"] = time.time() - t0
+
+    if not opts["skip_track_establishment"]:
+        t0 = _stage("track establishment")
+        tracks = tracks_mod.establish_tracks(
+            view_graph, images, config.TRACK_ESTABLISHMENT_OPTIONS)
+        log(f"Established {tracks.num_tracks} tracks "
+            f"({tracks.num_observations} observations)")
+        timings["track_establishment"] = time.time() - t0
+
+    if not opts["skip_global_positioning"]:
+        t0 = _stage("global positioning")
+        relpose.undistort_images(cameras, images, dtype)
+        tracks = positioning.global_positioning(
+            cameras, images, tracks, config.GLOBAL_POSITIONER_OPTIONS,
+            depths_available=depths_available, dtype=dtype)
+        _viz("global_positioning")
+        tracks = track_filters.filter_tracks_by_angle(
+            cameras, images, tracks,
+            config.INLIER_THRESHOLD_OPTIONS["max_angle_error"])
+        track_filters.normalize_reconstruction(
+            images, tracks, depths=depths_available or None)
+        timings["global_positioning"] = time.time() - t0
+
+    if not opts["skip_bundle_adjustment"]:
+        t0 = _stage("bundle adjustment")
+        for it in range(opts["num_iteration_bundle_adjustment"]):
+            ba.bundle_adjustment(cameras, images, tracks,
+                                 config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype)
+            relpose.undistort_images(cameras, images, dtype)
+            tracks = track_filters.filter_tracks_by_reprojection_normalized(
+                cameras, images, tracks,
+                config.INLIER_THRESHOLD_OPTIONS["max_reprojection_error"]
+                * max(1, 3 - it))
+            _viz("bundle_adjustment")
+        log(f"{int(images.registered.sum())} images are registered after BA.")
+
+        relpose.undistort_images(cameras, images, dtype)
+        tracks = track_filters.filter_tracks_by_reprojection_normalized(
+            cameras, images, tracks,
+            config.INLIER_THRESHOLD_OPTIONS["max_reprojection_error"])
+        tracks = track_filters.filter_tracks_triangulation_angle(
+            cameras, images, tracks,
+            config.INLIER_THRESHOLD_OPTIONS["min_triangulation_angle"])
+        track_filters.normalize_reconstruction(
+            images, tracks, depths=depths_available or None)
+        timings["bundle_adjustment"] = time.time() - t0
+
+    if not opts["skip_retriangulation"]:
+        t0 = _stage("retriangulation")
+        from instantsfm_tpu.pipeline import retriangulation
+        tracks = retriangulation.retriangulate_tracks(
+            cameras, images, tracks, config.TRIANGULATOR_OPTIONS,
+            config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype)
+        ba.bundle_adjustment(cameras, images, tracks,
+                             config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype)
+        relpose.undistort_images(cameras, images, dtype)
+        tracks = track_filters.filter_tracks_by_reprojection_normalized(
+            cameras, images, tracks,
+            config.INLIER_THRESHOLD_OPTIONS["max_reprojection_error"])
+        tracks = track_filters.filter_tracks_triangulation_angle(
+            cameras, images, tracks,
+            config.INLIER_THRESHOLD_OPTIONS["min_triangulation_angle"])
+        timings["retriangulation"] = time.time() - t0
+
+    if not opts["skip_pruning"]:
+        t0 = _stage("pruning")
+        from instantsfm_tpu.pipeline import pruning
+        pruning.prune_weakly_connected_images(images, tracks)
+        timings["pruning"] = time.time() - t0
+
+    for name, dt in timings.items():
+        log(f"{name} took: {dt:.2f}s")
+    return cameras, images, tracks, timings

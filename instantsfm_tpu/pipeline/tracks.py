@@ -1,0 +1,126 @@
+"""Track establishment: match-graph connected components -> Tracks.
+
+Replaces the reference's Python union-find over all inlier matches
+(``processors/track_establishment.py:7-107``, ``utils/union_find.py``) with a
+single ``scipy.sparse.csgraph.connected_components`` call on the
+(image, feature) match graph — the same equivalence closure, O(V+E) in C, no
+Python loops.
+
+Pipeline parity:
+* nodes are packed (image_idx << 32 | feature_idx) like the reference's
+  ``point_global_id`` (``track_establishment.py:30-36``);
+* per-node reference counts = number of inlier matches touching the node;
+* tracks whose same-image observations spread more than
+  ``thres_inconsistency`` pixels are discarded entirely
+  (``track_establishment.py:62-76``);
+* duplicate observations of one image keep the highest-count feature
+  (``track_establishment.py:79-84``);
+* length filter [min_num_view_per_track, max_num_view_per_track] restricted to
+  registered images (``FindTracksForProblem``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from instantsfm_tpu.scene.types import Images, Tracks, ViewGraph
+
+
+def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict) -> Tracks:
+    mp = view_graph.match_pair_idx()
+    inl = view_graph.inlier_mask & view_graph.valid[mp]
+    if not inl.any():
+        return Tracks.empty()
+    pi = view_graph.pair_i[mp[inl]].astype(np.int64)
+    pj = view_graph.pair_j[mp[inl]].astype(np.int64)
+    f1 = view_graph.matches[inl, 0].astype(np.int64)
+    f2 = view_graph.matches[inl, 1].astype(np.int64)
+
+    node1 = (pi << 32) | f1
+    node2 = (pj << 32) | f2
+    nodes, inv = np.unique(np.concatenate([node1, node2]), return_inverse=True)
+    n_edges = len(node1)
+    e1, e2 = inv[:n_edges], inv[n_edges:]
+
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    V = len(nodes)
+    adj = sp.coo_matrix((np.ones(n_edges, np.int8), (e1, e2)), shape=(V, V))
+    _, labels = connected_components(adj, directed=False)
+
+    counts = np.bincount(e1, minlength=V) + np.bincount(e2, minlength=V)
+    img = (nodes >> 32).astype(np.int32)
+    feat = (nodes & 0xFFFFFFFF).astype(np.int32)
+
+    # ---- consistency: same-image spread within a track <= thres (bbox diag)
+    order = np.lexsort((feat, img, labels))
+    labels_s, img_s, feat_s = labels[order], img[order], feat[order]
+    counts_s = counts[order]
+    xy = images.kp_xy[images.kp_index(img_s, feat_s)]
+
+    grp_key = labels_s.astype(np.int64) * (images.num_images + 1) + img_s
+    new_grp = np.empty(len(grp_key), bool)
+    new_grp[0] = True
+    new_grp[1:] = grp_key[1:] != grp_key[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    n_grp = grp_id[-1] + 1
+
+    gmin_x = np.full(n_grp, np.inf)
+    gmax_x = np.full(n_grp, -np.inf)
+    gmin_y = np.full(n_grp, np.inf)
+    gmax_y = np.full(n_grp, -np.inf)
+    np.minimum.at(gmin_x, grp_id, xy[:, 0])
+    np.maximum.at(gmax_x, grp_id, xy[:, 0])
+    np.minimum.at(gmin_y, grp_id, xy[:, 1])
+    np.maximum.at(gmax_y, grp_id, xy[:, 1])
+    spread = np.hypot(gmax_x - gmin_x, gmax_y - gmin_y)
+    thres = float(opts["thres_inconsistency"])
+    bad_grp = spread > thres
+    bad_track = np.zeros(labels_s.max() + 1, bool)
+    grp_track = labels_s[new_grp]  # track label of each group
+    np.logical_or.at(bad_track, grp_track[bad_grp], True)
+
+    # ---- dedup: one observation per (track, image): keep max ref count
+    best_in_grp = np.zeros(n_grp, np.int64)
+    # order within group is by feat; pick argmax count via sort trick
+    ord2 = np.lexsort((feat_s, -counts_s, grp_id))
+    first_of_grp = np.empty(len(grp_key), bool)
+    gid2 = grp_id[ord2]
+    first_of_grp[0] = True
+    first_of_grp[1:] = gid2[1:] != gid2[:-1]
+    keep_rows = ord2[first_of_grp]
+
+    keep_mask = np.zeros(len(labels_s), bool)
+    keep_mask[keep_rows] = True
+    keep_mask &= ~bad_track[labels_s]
+    keep_mask &= images.registered[img_s]
+
+    lab_k = labels_s[keep_mask]
+    img_k = img_s[keep_mask]
+    feat_k = feat_s[keep_mask]
+
+    # ---- track length filter
+    tlen = np.bincount(lab_k, minlength=labels_s.max() + 1)
+    lo = int(opts["min_num_view_per_track"])
+    hi = int(opts["max_num_view_per_track"])
+    good = (tlen[lab_k] >= lo) & (tlen[lab_k] <= hi)
+    lab_k, img_k, feat_k = lab_k[good], img_k[good], feat_k[good]
+
+    if len(lab_k) == 0:
+        return Tracks.empty()
+
+    uniq_labels, lab_dense = np.unique(lab_k, return_inverse=True)
+    T = len(uniq_labels)
+    order3 = np.argsort(lab_dense, kind="stable")
+    lab_dense = lab_dense[order3]
+    img_k = img_k[order3]
+    feat_k = feat_k[order3]
+    lengths = np.bincount(lab_dense, minlength=T)
+    offset = np.zeros(T + 1, np.int64)
+    np.cumsum(lengths, out=offset[1:])
+
+    return Tracks(
+        xyz=np.zeros((T, 3)), color=np.zeros((T, 3), np.uint8),
+        obs_image=img_k.astype(np.int32), obs_feature=feat_k.astype(np.int32),
+        obs_offset=offset, track_id=uniq_labels.astype(np.int64))

@@ -1,0 +1,100 @@
+"""End-to-end pipeline test: synthetic scene -> COLMAP db -> full mapper ->
+sparse model; recovered poses must match ground truth after similarity
+alignment (SURVEY.md §4 test strategy)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from instantsfm_tpu.config import Config
+from instantsfm_tpu.eval.align import (absolute_translation_errors,
+                                       rotation_angles_deg, umeyama)
+from instantsfm_tpu.io import colmap_model as cmio
+from instantsfm_tpu.io.colmap_db import ColmapDatabase, read_colmap_database
+from instantsfm_tpu.math import lie
+from instantsfm_tpu.pipeline.mapper import solve_global_mapper
+from instantsfm_tpu.pipeline.writer import write_reconstruction
+from instantsfm_tpu.scene.types import CONFIG_CALIBRATED
+from tests.synthetic import make_scene
+
+
+def _write_synthetic_db(scene, dbpath, rng, match_noise=0.3, outlier_frac=0.08,
+                        width=640, height=480):
+    """Emit a COLMAP database from a synthetic scene: keypoints = projections
+    (+noise), exhaustive pairs with GT-correspondence matches + outliers."""
+    n_cams = len(scene.qvec)
+    n_pts = len(scene.points)
+
+    # keypoints per image: the visible projections (feature index == point id
+    # position within that image's visibility list)
+    kp, feat_of_pt = [], []
+    for i in range(n_cams):
+        sel = scene.obs_cam == i
+        xy = scene.obs_xy[sel] + match_noise * rng.standard_normal((sel.sum(), 2))
+        kp.append(xy)
+        f = -np.ones(n_pts, np.int64)
+        f[scene.obs_pt[sel]] = np.arange(sel.sum())
+        feat_of_pt.append(f)
+
+    with ColmapDatabase.connect(dbpath) as db:
+        db.create_tables()
+        cam_id = db.add_camera(scene.model_id, width, height,
+                               scene.params[:4], prior_focal=True)
+        img_ids = [db.add_image(f"img{i:03d}.jpg", cam_id) for i in range(n_cams)]
+        for i in range(n_cams):
+            db.add_keypoints(img_ids[i], kp[i])
+        for i in range(n_cams):
+            for j in range(i + 1, n_cams):
+                shared = np.nonzero((feat_of_pt[i] >= 0) & (feat_of_pt[j] >= 0))[0]
+                if len(shared) < 16:
+                    continue
+                m = np.stack([feat_of_pt[i][shared], feat_of_pt[j][shared]], 1)
+                n_out = int(outlier_frac * len(m))
+                if n_out:
+                    sel = rng.choice(len(m), n_out, replace=False)
+                    m[sel, 1] = rng.integers(0, len(kp[j]), n_out)
+                db.add_matches(img_ids[i], img_ids[j], m)
+                db.add_two_view_geometry(img_ids[i], img_ids[j], m,
+                                         config=CONFIG_CALIBRATED)
+        db.set_feature_name("colmap")
+
+
+@pytest.mark.slow
+def test_full_pipeline_synthetic(tmp_path, rng):
+    scene = make_scene(num_cams=14, num_pts=220, params=[500.0, 320, 240, 0.0],
+                       seed=3, vis_prob=0.85)
+    dbpath = os.path.join(tmp_path, "database.db")
+    _write_synthetic_db(scene, dbpath, rng)
+
+    view_graph, cameras, images, feature_name = read_colmap_database(dbpath)
+    assert images.num_images == 14
+    config = Config(feature_name)
+    cameras, images, tracks, timings = solve_global_mapper(
+        view_graph, cameras, images, config, log=lambda *a, **k: None)
+
+    assert images.registered.sum() == 14
+    assert tracks.num_tracks > 100
+
+    # ---- pose accuracy vs GT (gauge-aligned)
+    est_R = np.asarray(lie.quat_to_matrix(jnp.asarray(images.qvec)))
+    gt_R = np.asarray(lie.quat_to_matrix(jnp.asarray(scene.qvec)))
+    rot_err = rotation_angles_deg(est_R, gt_R)
+    assert np.max(rot_err) < 1.0, f"rotation errors {rot_err}"
+
+    est_C = images.centers()
+    gt_C = np.asarray(lie.camera_center(jnp.asarray(scene.qvec),
+                                        jnp.asarray(scene.tvec)))
+    ate = absolute_translation_errors(est_C, gt_C)
+    scene_extent = np.linalg.norm(gt_C.max(0) - gt_C.min(0))
+    assert np.max(ate) < 0.01 * scene_extent, f"ATE {ate}"
+
+    # ---- model export round-trips
+    out = os.path.join(tmp_path, "sparse")
+    write_reconstruction(out, cameras, images, tracks)
+    cams_m, imgs_m, pts_m = cmio.read_model(os.path.join(out, "0"))
+    assert len(imgs_m) == 14
+    assert len(pts_m) > 100
+    assert len(cams_m) == 1
