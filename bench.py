@@ -1,0 +1,122 @@
+"""Benchmark: BA LM iterations/second on real hardware.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The scene is synthetic at ETH3D-indoor scale (SURVEY.md §6 / BASELINE.md):
+~200 cameras, 50k points, ~400k observations, SIMPLE_RADIAL.  The metric is
+steady-state LM iterations/second of the full step (system build + Schur +
+PCG + retraction + cost, fixed 25 CG iterations) under lax.scan — no host
+round-trips.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); we anchor
+to the reference's configured iteration budget as a proxy — its BA does <=200
+iterations and the paper's headline is end-to-end minutes-scale on A100.  We
+use 10 it/s as the nominal A100-class anchor for this problem size;
+vs_baseline = value / 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_ba(num_cams=200, num_pts=50_000, obs_per_pt=8, seed=0):
+    import jax.numpy as jnp
+
+    from instantsfm_tpu.math import lie
+    from instantsfm_tpu.scene import cameras as cm
+    from instantsfm_tpu.solve.block_lm import Observations, Params
+    from instantsfm_tpu.solve.problems import make_ba_problem
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(seed)
+    model_id = cm.SIMPLE_RADIAL
+    cam_params = cm.pad_params([500.0, 320.0, 240.0, 0.01])
+
+    angles = rng.uniform(0, 2 * np.pi, num_cams)
+    centers = np.stack([8 * np.cos(angles), 8 * np.sin(angles),
+                        rng.uniform(0, 2, num_cams)], -1)
+    qs, ts = [], []
+    import jax.numpy as jnp2
+    for c in centers:
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 0, 1.0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rm = np.stack([x, y, z], 0)
+        qs.append(np.asarray(lie.matrix_to_quat(jnp2.asarray(Rm[None])))[0])
+        ts.append(-Rm @ c)
+    qs, ts = np.array(qs), np.array(ts)
+    pts = rng.uniform(-2, 2, (num_pts, 3))
+
+    # each point observed by obs_per_pt random cameras
+    obs_pt = np.repeat(np.arange(num_pts), obs_per_pt)
+    obs_cam = rng.integers(0, num_cams, num_pts * obs_per_pt)
+    xyz = np.einsum("oij,oj->oi",
+                    np.asarray(lie.quat_to_matrix(jnp2.asarray(qs)))[obs_cam],
+                    pts[obs_pt]) + ts[obs_cam]
+    valid = xyz[:, 2] > 0.2
+    uv = xyz[:, :2] / np.maximum(xyz[:, 2:], 0.2)
+    r2 = np.sum(uv * uv, -1, keepdims=True)
+    xy = uv * (1 + 0.01 * r2) * 500.0 + np.array([320.0, 240.0])
+    xy += 0.5 * rng.standard_normal(xy.shape)
+
+    problem = make_ba_problem(model_id)
+    O = len(obs_cam)
+    params = Params(
+        cam={"q": jnp.asarray(qs, dtype),
+             "t": jnp.asarray(ts + 0.02 * rng.standard_normal(ts.shape), dtype),
+             "intr": jnp.tile(jnp.asarray(cam_params, dtype), (num_cams, 1))},
+        pts=jnp.asarray(pts + 0.05 * rng.standard_normal(pts.shape), dtype),
+        scales=jnp.zeros((O, 1), dtype), scales_free=jnp.zeros(O, bool))
+    obs = Observations(cam_idx=jnp.asarray(obs_cam, jnp.int32),
+                       pt_idx=jnp.asarray(obs_pt, jnp.int32),
+                       data={"xy": jnp.asarray(xy, dtype)},
+                       valid=jnp.asarray(valid))
+    return problem, params, obs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from instantsfm_tpu.solve import robust
+    from instantsfm_tpu.solve.block_lm import LMConfig, LMState, lm_step
+
+    problem, params, obs = make_ba()
+    cfg = LMConfig(pcg_iters=25, pcg_tol=1e-4, max_rejects=5)
+    kernel = robust.huber(1.0)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def run(state, obs, iters):
+        def body(s, _):
+            s = lm_step(problem, kernel, cfg, s, obs)
+            return s, s.cost
+        return jax.lax.scan(body, state, None, length=iters)
+
+    state = LMState(params, jnp.asarray(1e-4, params.pts.dtype),
+                    jnp.asarray(jnp.inf, params.pts.dtype))
+
+    N_WARm, N = 2, 20
+    s1, _ = run(state, obs, N_WARm)
+    jax.block_until_ready(s1.cost)
+    t0 = time.perf_counter()
+    s2, costs = run(s1, obs, N)
+    jax.block_until_ready(s2.cost)
+    dt = time.perf_counter() - t0
+    iters_per_sec = N / dt
+
+    print(json.dumps({
+        "metric": "ba_iters_per_sec",
+        "value": round(iters_per_sec, 3),
+        "unit": "iter/s (200 cams, 50k pts, 400k obs, 25 CG/iter)",
+        "vs_baseline": round(iters_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
