@@ -67,9 +67,9 @@ def make_ba(num_cams=200, num_pts=50_000, obs_per_pt=8, seed=0):
     O = len(obs_cam)
     params = Params(
         cam={"q": jnp.asarray(qs, dtype),
-             "t": jnp.asarray(ts + 0.02 * rng.standard_normal(ts.shape), dtype),
+             "t": jnp.asarray(ts + 0.15 * rng.standard_normal(ts.shape), dtype),
              "intr": jnp.tile(jnp.asarray(cam_params, dtype), (num_cams, 1))},
-        pts=jnp.asarray(pts + 0.05 * rng.standard_normal(pts.shape), dtype),
+        pts=jnp.asarray(pts + 0.3 * rng.standard_normal(pts.shape), dtype),
         scales=jnp.zeros((O, 1), dtype), scales_free=jnp.zeros(O, bool))
     obs = Observations(cam_idx=jnp.asarray(obs_cam, jnp.int32),
                        pt_idx=jnp.asarray(obs_pt, jnp.int32),
@@ -86,7 +86,7 @@ def main():
     from instantsfm_tpu.solve.block_lm import LMConfig, LMState, lm_step
 
     problem, params, obs = make_ba()
-    cfg = LMConfig(pcg_iters=25, pcg_tol=1e-4, max_rejects=5)
+    cfg = LMConfig(pcg_iters=25, pcg_tol=1e-4, max_rejects=2)
     kernel = robust.huber(1.0)
 
     from functools import partial

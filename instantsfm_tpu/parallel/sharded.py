@@ -37,16 +37,21 @@ def make_mesh(devices=None, axis: str = "obs") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def pad_observations(obs: Observations, multiple: int) -> Observations:
+def pad_observations(obs: Observations, multiple: int,
+                     num_points: int = None) -> Observations:
     """Pad the observation axis to a multiple of the device count; padded rows
-    are masked invalid (shapes must divide evenly for sharding)."""
+    are masked invalid.  Padded pt_idx uses the LAST point index so the
+    sorted-by-point invariant of ``build_system`` is preserved."""
     O = obs.valid.shape[0]
     pad = (-O) % multiple
     if pad == 0:
         return obs
+    pad_pt = (num_points - 1) if num_points else 0
     f = lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
     return Observations(
-        cam_idx=f(obs.cam_idx), pt_idx=f(obs.pt_idx),
+        cam_idx=f(obs.cam_idx),
+        pt_idx=jnp.concatenate([obs.pt_idx,
+                                jnp.full(pad, pad_pt, obs.pt_idx.dtype)]),
         data=jax.tree_util.tree_map(f, obs.data),
         valid=jnp.concatenate([obs.valid, jnp.zeros(pad, bool)]))
 
@@ -67,7 +72,7 @@ def shard_problem(mesh: Mesh, params: Params, obs: Observations,
                   axis: str = "obs"):
     """Place observations sharded over the mesh, parameters replicated."""
     n = mesh.devices.size
-    obs = pad_observations(obs, n)
+    obs = pad_observations(obs, n, num_points=params.pts.shape[0])
     params = pad_scales(params, n)
     sharded = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
@@ -90,6 +95,10 @@ def make_sharded_lm_step(mesh: Mesh, problem, kernel: robust.RobustKernel,
                          cfg: LMConfig, axis: str = "obs"):
     """Jitted LM step; XLA partitions it from the input shardings set by
     ``shard_problem`` (GSPMD), inserting the psum/all-gather collectives."""
+
+    import dataclasses
+    cfg = dataclasses.replace(cfg, solver="pcg")  # dense Schur would scatter
+    # a [3T, C*PC] buffer across devices; matrix-free PCG shards cleanly.
 
     def step(state: LMState, obs: Observations) -> LMState:
         return lm_step(problem, kernel, cfg, state, obs)

@@ -98,6 +98,40 @@ def _num_cams(params: Params) -> int:
     return jax.tree_util.tree_leaves(params.cam)[0].shape[0]
 
 
+def cam_reduce(vals, cam_idx, C: int, chunk: int = 32768):
+    """Segment-sum over the (small) camera axis as a one-hot matmul.
+
+    TPU scatter-adds into few segments are slow; a chunked one-hot
+    contraction runs on the MXU instead (~3x faster at 400k x 200 on v5e).
+    vals: [O, K] -> [C, K].
+    """
+    O, K = vals.shape
+    if C > 1024:
+        return jax.ops.segment_sum(vals, cam_idx, num_segments=C)
+    pad = (-O) % chunk
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros((pad, K), vals.dtype)])
+        cam_idx = jnp.concatenate(
+            [cam_idx, jnp.full((pad,), C, cam_idx.dtype)])
+    nch = (O + pad) // chunk
+    classes = jnp.arange(C, dtype=cam_idx.dtype)
+
+    def body(i, acc):
+        v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk)
+        ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
+        oh = (ids[:, None] == classes[None, :]).astype(vals.dtype)
+        return acc + jnp.dot(oh.T, v, preferred_element_type=vals.dtype)
+
+    return jax.lax.fori_loop(0, nch, body, jnp.zeros((C, K), vals.dtype))
+
+
+def _seg_by_cam(x, cam_idx, C):
+    """Camera-indexed reduction of [O, ...] -> [C, ...] via cam_reduce."""
+    shape = x.shape
+    out = cam_reduce(x.reshape(shape[0], -1), cam_idx, C)
+    return out.reshape((C,) + shape[1:])
+
+
 def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel) -> jnp.ndarray:
     """Robust cost sum_o rho(||r_o||^2) over valid observations."""
@@ -167,10 +201,14 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     gc_o = -jnp.einsum("ori,or->oi", Jc, r)                # [O, PC]
     gp_o = -jnp.einsum("ori,or->oi", Jp, r)                # [O, 3]
 
-    U = jax.ops.segment_sum(U_o, obs.cam_idx, num_segments=C)
-    g_cam = jax.ops.segment_sum(gc_o, obs.cam_idx, num_segments=C)
-    V = jax.ops.segment_sum(V_o, obs.pt_idx, num_segments=num_points)
-    g_pt = jax.ops.segment_sum(gp_o, obs.pt_idx, num_segments=num_points)
+    U = _seg_by_cam(U_o, obs.cam_idx, C)
+    g_cam = _seg_by_cam(gc_o, obs.cam_idx, C)
+    # observations are sorted by point (CSR track layout) throughout the
+    # pipeline; padded tails use the last point index so sortedness holds.
+    V = jax.ops.segment_sum(V_o, obs.pt_idx, num_segments=num_points,
+                            indices_are_sorted=True)
+    g_pt = jax.ops.segment_sum(gp_o, obs.pt_idx, num_segments=num_points,
+                               indices_are_sorted=True)
 
     return NormalSystem(U=U, V=V, W=W, g_cam=g_cam, g_pt=g_pt,
                         Hss=Hss, Jc_s=Jc_s, Jp_s=Jp_s, g_s=g_s, cost=cost)
@@ -201,14 +239,44 @@ def _inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
+def _chol3x3(M):
+    """Closed-form batched Cholesky of SPD (..., 3, 3): M = L Lᵀ."""
+    a = jnp.sqrt(jnp.maximum(M[..., 0, 0], 1e-30))
+    b = M[..., 1, 0] / a
+    c = M[..., 2, 0] / a
+    d = jnp.sqrt(jnp.maximum(M[..., 1, 1] - b * b, 1e-30))
+    e = (M[..., 2, 1] - c * b) / d
+    f = jnp.sqrt(jnp.maximum(M[..., 2, 2] - c * c - e * e, 1e-30))
+    z = jnp.zeros_like(a)
+    L = jnp.stack([a, z, z, b, d, z, c, e, f], axis=-1)
+    return L.reshape(M.shape)
+
+
+def _tri3_solve(L, B):
+    """Solve L X = B for lower-triangular (..., 3, 3) L, B (..., 3, K)."""
+    x0 = B[..., 0, :] / L[..., 0, 0, None]
+    x1 = (B[..., 1, :] - L[..., 1, 0, None] * x0) / L[..., 1, 1, None]
+    x2 = (B[..., 2, :] - L[..., 2, 0, None] * x0
+          - L[..., 2, 1, None] * x1) / L[..., 2, 2, None]
+    return jnp.stack([x0, x1, x2], axis=-2)
+
+
 def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                  lam, pcg_iters: int = 100, pcg_tol: float = 1e-5,
-                 eps: float = 1e-8):
+                 eps: float = 1e-8, dense_schur: Optional[bool] = None):
     """Solve (H + lam diag(H)) dx = g via scalar elimination -> point (Schur)
-    elimination -> PCG on the reduced camera system. Returns (d_cam, d_pt, d_s)."""
+    elimination -> reduced camera system.  The reduced system is solved either
+    exactly by dense Cholesky (``dense_schur``, the MXU-friendly fast path for
+    up-to-a-few-thousand camera unknowns — Ceres' DENSE_SCHUR analog) or
+    matrix-free with block-Jacobi PCG (scales to any size; the sharded path).
+    Returns (d_cam, d_pt, d_s, cg_iters)."""
     PC = problem.cam_dim
     C = sys.U.shape[0]
     T = sys.V.shape[0]
+    if dense_schur is None:
+        # dense wins only when the Y scatter stays small (measured on v5e:
+        # at T=50k/O=400k the PCG path is ~2.6x faster than dense)
+        dense_schur = C * PC <= 2048 and T <= 8192
 
     U, V, W = sys.U, sys.V, sys.W
     g_cam, g_pt = sys.g_cam, sys.g_pt
@@ -217,23 +285,21 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         # eliminate per-observation scalar: damped Hss, rank-1 downdates.
         Hss_d = sys.Hss * (1.0 + lam) + eps
         inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)  # frozen scales: no-op
-        # per-obs corrections (each obs owns its scalar)
         U_corr = jnp.einsum("oi,oj,o->oij", sys.Jc_s, sys.Jc_s, inv_hss)
         V_corr = jnp.einsum("oi,oj,o->oij", sys.Jp_s, sys.Jp_s, inv_hss)
         W_corr = jnp.einsum("oi,oj,o->oij", sys.Jc_s, sys.Jp_s, inv_hss)
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
-        U = U - jax.ops.segment_sum(U_corr, obs.cam_idx, num_segments=C)
-        V = V - jax.ops.segment_sum(V_corr, obs.pt_idx, num_segments=T)
+        U = U - _seg_by_cam(U_corr, obs.cam_idx, C)
+        V = V - jax.ops.segment_sum(V_corr, obs.pt_idx, num_segments=T,
+                                    indices_are_sorted=True)
         W = W - W_corr
-        g_cam = g_cam - jax.ops.segment_sum(gc_corr, obs.cam_idx, num_segments=C)
-        g_pt = g_pt - jax.ops.segment_sum(gp_corr, obs.pt_idx, num_segments=T)
-        # NOTE: damping below is taken from the *original* diag; scalar
-        # elimination happens on the damped system, consistent ordering.
+        g_cam = g_cam - _seg_by_cam(gc_corr, obs.cam_idx, C)
+        g_pt = g_pt - jax.ops.segment_sum(gp_corr, obs.pt_idx, num_segments=T,
+                                          indices_are_sorted=True)
 
     U_d = _damped(U, lam, eps)
     if not problem.has_points:
-        # single-block problem: direct PCG on U (it is block-diagonal => exact)
         U_inv = jnp.linalg.inv(U_d)
         d_cam = jnp.einsum("cij,cj->ci", U_inv, g_cam)
         d_pt = jnp.zeros((T, 3), d_cam.dtype)
@@ -242,46 +308,64 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
 
     V_d = _damped(V, lam, eps)
     V_inv = _inv3x3(V_d)
-
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
 
-    def schur_matvec(x):  # x: [C, PC]
-        y = jnp.einsum("cij,cj->ci", U_d, x)
-        t = jnp.einsum("oij,oi->oj", W, x[cam_idx])           # [O, 3]
-        s_p = jax.ops.segment_sum(t, pt_idx, num_segments=T)
-        z = jnp.einsum("pij,pj->pi", V_inv, s_p)
-        u = jnp.einsum("oij,oj->oi", W, z[pt_idx])            # [O, PC]
-        y2 = jax.ops.segment_sum(u, cam_idx, num_segments=C)
-        return y - y2
-
     # rhs: g_cam - W V^-1 g_pt
-    rhs = g_cam - jax.ops.segment_sum(
+    rhs = g_cam - _seg_by_cam(
         jnp.einsum("oij,oj->oi", W, jnp.einsum("pij,pj->pi", V_inv, g_pt)[pt_idx]),
-        cam_idx, num_segments=C)
+        cam_idx, C)
 
-    # block-Jacobi preconditioner on the Schur diagonal
-    D_corr = jnp.einsum("oij,ojk,olk->oil", W, V_inv[pt_idx], W)
-    D = U_d - jax.ops.segment_sum(D_corr, cam_idx, num_segments=C)
-    D = D + eps * jnp.eye(PC, dtype=D.dtype)
-    D_inv = jnp.linalg.inv(D)
+    if dense_schur:
+        # ---- exact reduced solve: S = blockdiag(U_d) - Yᵀ Y with
+        # Y[3p, c*PC:...] = L_p^{-1} W_oᵀ (L_p = chol(V_d)); one scatter builds
+        # Y, one MXU contraction builds S, one Cholesky solves it.
+        L = _chol3x3(V_d)
+        P = _tri3_solve(L[pt_idx], jnp.swapaxes(W, -1, -2))   # [O, 3, PC]
+        n = C * PC
+        rows = (pt_idx[:, None] * 3 + jnp.arange(3)[None, :])             # [O,3]
+        cols = (cam_idx[:, None] * PC + jnp.arange(PC)[None, :])          # [O,PC]
+        Y = jnp.zeros((3 * T, n), W.dtype)
+        Y = Y.at[rows[:, :, None], cols[:, None, :]].add(P)
+        S = -jnp.dot(Y.T, Y, preferred_element_type=Y.dtype)
+        ii = jnp.arange(C)[:, None, None] * PC
+        blk_r = ii + jnp.arange(PC)[None, :, None]
+        blk_c = ii + jnp.arange(PC)[None, None, :]
+        S = S.at[blk_r, blk_c].add(U_d)
+        S = S + eps * jnp.eye(n, dtype=S.dtype)
+        from jax.scipy.linalg import cho_factor, cho_solve
+        cf = cho_factor(S)
+        d_cam = cho_solve(cf, rhs.reshape(n)).reshape(C, PC)
+        iters = jnp.asarray(0, jnp.int32)
+    else:
+        def schur_matvec(x):  # x: [C, PC]
+            y = jnp.einsum("cij,cj->ci", U_d, x)
+            t = jnp.einsum("oij,oi->oj", W, x[cam_idx])           # [O, 3]
+            s_p = jax.ops.segment_sum(t, pt_idx, num_segments=T,
+                                      indices_are_sorted=True)
+            z = jnp.einsum("pij,pj->pi", V_inv, s_p)
+            u = jnp.einsum("oij,oj->oi", W, z[pt_idx])            # [O, PC]
+            y2 = _seg_by_cam(u, cam_idx, C)
+            return y - y2
 
-    def precond(v):
-        return jnp.einsum("cij,cj->ci", D_inv, v)
+        # block-Jacobi preconditioner on the Schur diagonal
+        D_corr = jnp.einsum("oij,ojk,olk->oil", W, V_inv[pt_idx], W)
+        D = U_d - _seg_by_cam(D_corr, cam_idx, C)
+        D = D + eps * jnp.eye(PC, dtype=D.dtype)
+        D_inv = jnp.linalg.inv(D)
 
-    d_cam, _, iters = pcg(schur_matvec, rhs, precond,
-                          max_iters=pcg_iters, tol=pcg_tol)
+        def precond(v):
+            return jnp.einsum("cij,cj->ci", D_inv, v)
+
+        d_cam, _, iters = pcg(schur_matvec, rhs, precond,
+                              max_iters=pcg_iters, tol=pcg_tol)
 
     # back-substitute points: d_pt = V^-1 (g_pt - W^T d_cam)
     wtd = jax.ops.segment_sum(jnp.einsum("oij,oi->oj", W, d_cam[cam_idx]),
-                              pt_idx, num_segments=T)
+                              pt_idx, num_segments=T, indices_are_sorted=True)
     d_pt = jnp.einsum("pij,pj->pi", V_inv, g_pt - wtd)
 
     d_s = _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps)
     return d_cam, d_pt, d_s, iters
-
-
-def _gather3(V_inv, pt_idx):
-    return V_inv[pt_idx]
 
 
 def _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps):
@@ -306,6 +390,7 @@ class LMConfig:
     max_rejects: int = 30
     pcg_iters: int = 100
     pcg_tol: float = 1e-5
+    solver: str = "auto"          # "auto" | "dense" | "pcg"
 
 
 class LMState(NamedTuple):
@@ -332,27 +417,33 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     T = params.pts.shape[0]
     sys = build_system(problem, params, obs, kernel, num_points=T)
 
+    dense = None if cfg.solver == "auto" else (cfg.solver == "dense")
+
     def try_lam(lam):
         d_cam, d_pt, d_s, _ = solve_damped(
-            problem, sys, obs, lam, cfg.pcg_iters, cfg.pcg_tol)
+            problem, sys, obs, lam, cfg.pcg_iters, cfg.pcg_tol,
+            dense_schur=dense)
         cand = _apply_step(problem, params, d_cam, d_pt, d_s)
         new_cost = compute_cost(problem, cand, obs, kernel)
         return cand, new_cost
 
+    # the solve appears exactly ONCE in the graph (inside the loop body);
+    # duplicating it outside the while_loop measurably doubles step latency
     def cond(carry):
         k, lam, cand, new_cost = carry
         bad = ~jnp.isfinite(new_cost) | (new_cost > sys.cost)
-        return bad & (k < cfg.max_rejects)
+        return (k == 0) | (bad & (k <= cfg.max_rejects))
 
     def body(carry):
         k, lam, _, _ = carry
-        lam = lam / cfg.radius_down   # shrink radius -> grow damping
+        lam = jnp.where(k == 0, lam, lam / cfg.radius_down)
         cand, new_cost = try_lam(lam)
         return k + 1, lam, cand, new_cost
 
-    cand0, cost0 = try_lam(state.lam)
+    zero_cand = jax.tree_util.tree_map(jnp.zeros_like, params)
     k, lam, cand, new_cost = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), state.lam, cand0, cost0))
+        cond, body, (jnp.asarray(0, jnp.int32), state.lam, zero_cand,
+                     jnp.asarray(jnp.inf, sys.cost.dtype)))
 
     accepted = jnp.isfinite(new_cost) & (new_cost <= sys.cost)
     lam_next = jnp.where(accepted,

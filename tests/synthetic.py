@@ -68,7 +68,11 @@ def make_scene(num_cams=12, num_pts=200, model_id=cm.SIMPLE_RADIAL,
         xy_n = xy[idx] + noise * rng.standard_normal((len(idx), 2))
         obs_xy.append(xy_n)
 
+    obs_cam = np.concatenate(obs_cam)
+    obs_pt = np.concatenate(obs_pt)
+    obs_xy = np.concatenate(obs_xy)
+    # sorted-by-point observation order (the solver's CSR invariant)
+    order = np.lexsort((obs_cam, obs_pt))
     return SyntheticScene(
         model_id=model_id, params=params, qvec=qvec, tvec=tvec, points=points,
-        obs_cam=np.concatenate(obs_cam), obs_pt=np.concatenate(obs_pt),
-        obs_xy=np.concatenate(obs_xy))
+        obs_cam=obs_cam[order], obs_pt=obs_pt[order], obs_xy=obs_xy[order])

@@ -20,7 +20,8 @@ def test_sharded_ba_matches_single_device():
     scene = make_scene(num_cams=10, num_pts=120)
     problem, params, obs = _ba_setup(scene)
     kernel = robust.huber(1.0)
-    cfg = LMConfig(max_iterations=5, pcg_iters=50)
+    # solver="pcg" on both sides: the sharded step always uses matrix-free PCG
+    cfg = LMConfig(max_iterations=5, pcg_iters=50, solver="pcg")
 
     state0 = LMState(params, jnp.asarray(1.0 / cfg.radius_init), jnp.asarray(jnp.inf))
 
