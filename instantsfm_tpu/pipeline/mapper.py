@@ -88,12 +88,15 @@ def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
         log(f"{n_reg} / {images.num_images} images are within the connected component.")
         timings["rotation_averaging"] = time.time() - t0
 
+    tracks_orig = Tracks.empty()
     if not opts["skip_track_establishment"]:
         t0 = _stage("track establishment")
-        tracks = tracks_mod.establish_tracks(
-            view_graph, images, config.TRACK_ESTABLISHMENT_OPTIONS)
+        tracks, tracks_orig = tracks_mod.establish_tracks(
+            view_graph, images, config.TRACK_ESTABLISHMENT_OPTIONS,
+            return_full=True)
         log(f"Established {tracks.num_tracks} tracks "
-            f"({tracks.num_observations} observations)")
+            f"({tracks.num_observations} observations; "
+            f"{tracks_orig.num_tracks} before filtering)")
         timings["track_establishment"] = time.time() - t0
 
     if not opts["skip_global_positioning"]:
@@ -138,8 +141,8 @@ def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
         t0 = _stage("retriangulation")
         from instantsfm_tpu.pipeline import retriangulation
         tracks = retriangulation.retriangulate_tracks(
-            cameras, images, tracks, config.TRIANGULATOR_OPTIONS,
-            config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype)
+            cameras, images, tracks, tracks_orig, config.TRIANGULATOR_OPTIONS,
+            config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype, log=log)
         ba.bundle_adjustment(cameras, images, tracks,
                              config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype)
         relpose.undistort_images(cameras, images, dtype)
@@ -154,7 +157,7 @@ def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
     if not opts["skip_pruning"]:
         t0 = _stage("pruning")
         from instantsfm_tpu.pipeline import pruning
-        pruning.prune_weakly_connected_images(images, tracks)
+        pruning.prune_weakly_connected_images(images, tracks, log=log)
         timings["pruning"] = time.time() - t0
 
     for name, dt in timings.items():

@@ -26,11 +26,12 @@ import numpy as np
 from instantsfm_tpu.scene.types import Images, Tracks, ViewGraph
 
 
-def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict) -> Tracks:
+def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict,
+                     return_full: bool = False):
     mp = view_graph.match_pair_idx()
     inl = view_graph.inlier_mask & view_graph.valid[mp]
     if not inl.any():
-        return Tracks.empty()
+        return (Tracks.empty(), Tracks.empty()) if return_full else Tracks.empty()
     pi = view_graph.pair_i[mp[inl]].astype(np.int64)
     pj = view_graph.pair_j[mp[inl]].astype(np.int64)
     f1 = view_graph.matches[inl, 0].astype(np.int64)
@@ -100,27 +101,29 @@ def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict) -> Track
     img_k = img_s[keep_mask]
     feat_k = feat_s[keep_mask]
 
-    # ---- track length filter
+    def _build(lab, img, feat):
+        if len(lab) == 0:
+            return Tracks.empty()
+        uniq_labels, lab_dense = np.unique(lab, return_inverse=True)
+        T = len(uniq_labels)
+        order3 = np.argsort(lab_dense, kind="stable")
+        lab_dense = lab_dense[order3]
+        img_o = img[order3]
+        feat_o = feat[order3]
+        lengths = np.bincount(lab_dense, minlength=T)
+        offset = np.zeros(T + 1, np.int64)
+        np.cumsum(lengths, out=offset[1:])
+        return Tracks(
+            xyz=np.zeros((T, 3)), color=np.zeros((T, 3), np.uint8),
+            obs_image=img_o.astype(np.int32), obs_feature=feat_o.astype(np.int32),
+            obs_offset=offset, track_id=uniq_labels.astype(np.int64))
+
+    # ---- track length filter (the "problem" subset, FindTracksForProblem)
     tlen = np.bincount(lab_k, minlength=labels_s.max() + 1)
     lo = int(opts["min_num_view_per_track"])
     hi = int(opts["max_num_view_per_track"])
     good = (tlen[lab_k] >= lo) & (tlen[lab_k] <= hi)
-    lab_k, img_k, feat_k = lab_k[good], img_k[good], feat_k[good]
-
-    if len(lab_k) == 0:
-        return Tracks.empty()
-
-    uniq_labels, lab_dense = np.unique(lab_k, return_inverse=True)
-    T = len(uniq_labels)
-    order3 = np.argsort(lab_dense, kind="stable")
-    lab_dense = lab_dense[order3]
-    img_k = img_k[order3]
-    feat_k = feat_k[order3]
-    lengths = np.bincount(lab_dense, minlength=T)
-    offset = np.zeros(T + 1, np.int64)
-    np.cumsum(lengths, out=offset[1:])
-
-    return Tracks(
-        xyz=np.zeros((T, 3)), color=np.zeros((T, 3), np.uint8),
-        obs_image=img_k.astype(np.int32), obs_feature=feat_k.astype(np.int32),
-        obs_offset=offset, track_id=uniq_labels.astype(np.int64))
+    tracks = _build(lab_k[good], img_k[good], feat_k[good])
+    if return_full:
+        return tracks, _build(lab_k, img_k, feat_k)
+    return tracks
