@@ -1,0 +1,131 @@
+"""Feature handler: images -> COLMAP database (reference
+``controllers/feature_handler.py`` / ``GenerateDatabase``).
+
+The default front-end is the TPU-native SIFT (``features/sift.py``) with
+MXU-blocked exhaustive matching; database layout matches the reference's
+learned-feature path: one SIMPLE_PINHOLE camera with f = 1.2*min(w, h)
+(``feature_handler.py:82-84``), matches stored raw and mirrored into
+``two_view_geometries`` with CALIBRATED config for pairs with at least
+``min_num_matches`` matches (``:330-341``); the downstream pipeline's own
+RANSAC does the geometric verification.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from instantsfm_tpu.features import matching, sift
+from instantsfm_tpu.io.colmap_db import ColmapDatabase
+from instantsfm_tpu.scene import cameras as cam_models
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
+
+
+def _load_gray(path, max_size):
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path))
+    if img.ndim == 3:
+        img = img[..., :3].astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                         np.float32)
+    else:
+        img = img.astype(np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    h, w = img.shape
+    scale = 1.0
+    if max(h, w) > max_size:
+        scale = max_size / max(h, w)
+        try:
+            from PIL import Image
+            img = np.asarray(
+                Image.fromarray((img * 255).astype(np.uint8)).resize(
+                    (int(w * scale), int(h * scale)), Image.BILINEAR),
+                dtype=np.float32) / 255.0
+        except Exception:
+            step = int(round(1 / scale))
+            img = img[::step, ::step]
+            scale = 1.0 / step
+    return img, scale, (w, h)
+
+
+def generate_database(image_path: str, database_path: str,
+                      feature_name: str = "sift_tpu", config=None,
+                      max_image_size: int = 1600, max_keypoints: int = 4096,
+                      match_ratio: float = 0.85, min_num_matches: int = None,
+                      sequential_overlap: int = 0, log=print) -> None:
+    """Extract + match + write database.  ``sequential_overlap`` > 0 switches
+    from exhaustive to sequential matching (reference's matcher choice,
+    ``feature_handler.py:29-31``)."""
+    if min_num_matches is None:
+        min_num_matches = (config.FEATURE_HANDLER_OPTIONS["min_num_matches"]
+                           if config is not None else 30)
+
+    names = sorted(n for n in os.listdir(image_path)
+                   if n.lower().endswith(_IMG_EXTS))
+    if not names:
+        raise FileNotFoundError(f"no images under {image_path}")
+
+    t0 = time.time()
+    cfg = sift.SiftConfig(max_keypoints=max_keypoints)
+    kps, descs, valids, sizes, scales = [], [], [], [], []
+    for n in names:
+        img, scale, (w, h) = _load_gray(os.path.join(image_path, n),
+                                        max_image_size)
+        xy, s, ori, d, v = sift.extract(img, cfg)
+        kps.append(xy / scale)
+        descs.append(d)
+        valids.append(v)
+        sizes.append((w, h))
+        scales.append(scale)
+    log(f"Feature extraction done in {time.time() - t0:.1f}s "
+        f"({len(names)} images)")
+
+    if sequential_overlap > 0:
+        pairs = [(i, j) for i in range(len(names))
+                 for j in range(i + 1, min(i + 1 + sequential_overlap,
+                                           len(names)))]
+    else:
+        pairs = None
+    t1 = time.time()
+    all_matches = matching.match_all_pairs(descs, valids, ratio=match_ratio,
+                                           pairs=pairs)
+    log(f"Matching done in {time.time() - t1:.1f}s ({len(all_matches)} pairs)")
+
+    w0, h0 = sizes[0]
+    focal = 1.2 * min(w0, h0)
+    if os.path.exists(database_path):
+        os.remove(database_path)
+    with ColmapDatabase.connect(database_path) as db:
+        db.create_tables()
+        cam_id = db.add_camera(cam_models.SIMPLE_PINHOLE, w0, h0,
+                               [focal, w0 / 2, h0 / 2], prior_focal=False)
+        img_ids = []
+        for i, n in enumerate(names):
+            iid = db.add_image(n, cam_id)
+            img_ids.append(iid)
+            v = valids[i]
+            db.add_keypoints(iid, kps[i][v])
+            db.add_descriptors(iid, np.clip(descs[i][v] * 512, 0,
+                                            255).astype(np.uint8))
+        # valid-compacted keypoint indices
+        remap = []
+        for v in valids:
+            r = -np.ones(len(v), np.int64)
+            r[v] = np.arange(v.sum())
+            remap.append(r)
+        n_geom = 0
+        for (i, j), m in all_matches.items():
+            if len(m) == 0:
+                continue
+            mm = np.stack([remap[i][m[:, 0]], remap[j][m[:, 1]]], 1)
+            mm = mm[(mm >= 0).all(axis=1)]
+            db.add_matches(img_ids[i], img_ids[j], mm)
+            if len(mm) >= min_num_matches:
+                db.add_two_view_geometry(img_ids[i], img_ids[j], mm, config=2)
+                n_geom += 1
+        db.set_feature_name(feature_name)
+    log(f"Database written to {database_path} "
+        f"({n_geom} verified-candidate pairs)")
