@@ -123,8 +123,9 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     tile_x0 = (tids % ntx) * TILE
     tile_y0 = (tids // ntx) * TILE
     py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    pix_x = tile_x0[:, None] + px.reshape(-1)[None, :] + 0.5  # [n_tiles, 256]
-    pix_y = tile_y0[:, None] + py.reshape(-1)[None, :] + 0.5
+    dt = means.dtype
+    pix_x = (tile_x0[:, None] + px.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
+    pix_y = (tile_y0[:, None] + py.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
 
     P = TILE * TILE
 

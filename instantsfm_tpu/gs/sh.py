@@ -25,6 +25,26 @@ def sh_to_rgb(sh):
     return sh * C0 + 0.5
 
 
+def sh_basis(deg: int, dirs):
+    """Real SH basis values [..., (deg+1)^2] for unit directions."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full_like(x, C0)]
+    if deg >= 1:
+        out += [-C1 * y, C1 * z, -C1 * x]
+    if deg >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [C2[0] * x * y, C2[1] * y * z, C2[2] * (2 * zz - xx - yy),
+                C2[3] * x * z, C2[4] * (xx - yy)]
+    if deg >= 3:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [C3[0] * y * (3 * xx - yy), C3[1] * x * y * z,
+                C3[2] * y * (4 * zz - xx - yy),
+                C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                C3[4] * x * (4 * zz - xx - yy), C3[5] * z * (xx - yy),
+                C3[6] * x * (xx - 3 * yy)]
+    return jnp.stack(out, axis=-1)
+
+
 def eval_sh(deg: int, sh_coeffs, dirs):
     """sh_coeffs: [..., K, 3] with K=(deg+1)^2; dirs: [..., 3] unit vectors."""
     result = C0 * sh_coeffs[..., 0, :]

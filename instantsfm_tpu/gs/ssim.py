@@ -41,8 +41,9 @@ def ssim(img1, img2, size: int = 11, sigma: float = 1.5,
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
-    x = jnp.transpose(img1, (0, 3, 1, 2))
-    y = jnp.transpose(img2, (0, 3, 1, 2))
+    dt = jnp.result_type(img1.dtype, img2.dtype)
+    x = jnp.transpose(img1.astype(dt), (0, 3, 1, 2))
+    y = jnp.transpose(img2.astype(dt), (0, 3, 1, 2))
     win = _gauss_window(size, sigma, x.dtype)
 
     mu_x = _filter2d(x, win)

@@ -1,0 +1,121 @@
+"""3DGS training smoke test: loss decreases on a tiny synthetic scene and the
+strategy/checkpoint machinery runs end-to-end."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantsfm_tpu.gs import splats as splats_mod, strategy as strat_mod
+from instantsfm_tpu.gs.ply import export_ply
+from instantsfm_tpu.gs.trainer import GSConfig, Runner
+from instantsfm_tpu.io import colmap_model as cmio
+from instantsfm_tpu.scene import cameras as cm
+
+
+def _make_gs_scene(tmp_path, rng, n_cams=6, n_pts=120, W=96, H=72):
+    """Render simple gaussian-blob views + write a COLMAP model + images."""
+    import imageio.v3 as iio
+
+    from instantsfm_tpu.gs import rasterize, sh as sh_mod
+    from tests.synthetic import look_at
+    from scipy.spatial.transform import Rotation as R
+
+    pts = rng.uniform(-1, 1, (n_pts, 3))
+    colors = rng.uniform(0.2, 0.9, (n_pts, 3))
+    f = 80.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+
+    # GT splats to render "photos"
+    quats = np.tile([0.0, 0, 0, 1], (n_pts, 1))
+    scales = np.full((n_pts, 3), 0.06)
+    opac = np.full(n_pts, 0.9)
+    sh0 = np.asarray(sh_mod.rgb_to_sh(colors))[:, None, :]
+
+    cams_m, imgs_m, pts_m = [], [], []
+    cams_m.append(cmio.ModelCamera(1, cm.PINHOLE, W, H,
+                                   np.array([f, f, W / 2, H / 2])))
+    img_dir = os.path.join(tmp_path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    angles = np.linspace(0, 2 * np.pi, n_cams, endpoint=False)
+    for i, a in enumerate(angles):
+        c = np.array([4 * np.cos(a), 4 * np.sin(a), 1.0])
+        Rm = look_at(c, np.zeros(3))
+        t = -Rm @ c
+        view = np.eye(4)
+        view[:3, :3] = Rm
+        view[:3, 3] = t
+        out = rasterize.rasterize(
+            jnp.asarray(pts), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(sh0), jnp.asarray(view),
+            jnp.asarray(K), width=W, height=H, sh_degree=0,
+            tiles_per_gauss=16, tile_capacity=128)
+        img = (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8)
+        name = f"v{i:02d}.png"
+        iio.imwrite(os.path.join(img_dir, name), img)
+        q = R.from_matrix(Rm).as_quat()
+        imgs_m.append(cmio.ModelImage(
+            i + 1, np.array([q[3], q[0], q[1], q[2]]), t, 1, name,
+            np.zeros((0, 2)), np.zeros(0, np.int64)))
+    for p in range(n_pts):
+        pts_m.append(cmio.ModelPoint3D(
+            p, pts[p], (colors[p] * 255).astype(np.uint8), 0.0,
+            np.array([1]), np.array([0])))
+    cmio.write_model(cams_m, imgs_m, pts_m, os.path.join(tmp_path, "sparse/0"))
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_gs_training_improves(tmp_path, rng):
+    scene_dir = _make_gs_scene(tmp_path, rng)
+    cfg = GSConfig(data_dir=str(scene_dir),
+                   result_dir=os.path.join(tmp_path, "results"),
+                   max_steps=60, test_every=3, sh_degree=1,
+                   sh_degree_interval=20, tile_capacity=128,
+                   eval_steps=(60,), save_steps=(60,), capacity_mult=2.0)
+    runner = Runner(cfg, log=lambda *a, **k: None)
+    losses = runner.train()
+    assert np.mean(losses[-10:]) < np.mean(losses[:5]) * 0.7, \
+        f"loss did not improve: {losses[:5]} -> {losses[-10:]}"
+    stats = runner.stats[60]
+    assert stats["psnr"] > 15, stats
+
+    ckpt = runner.save_checkpoint(60)
+    assert os.path.exists(ckpt)
+    step = runner.load_checkpoint(ckpt)
+    assert step == 60
+
+    ply = export_ply(os.path.join(tmp_path, "out.ply"),
+                     runner.splats.means, runner.splats.scales,
+                     runner.splats.quats, runner.splats.opacities,
+                     runner.splats.sh0, runner.splats.shN,
+                     runner.splats.alive)
+    assert os.path.getsize(ply) > 1000
+
+
+def test_strategy_refine_grows_and_prunes(rng):
+    import jax
+
+    pts = rng.uniform(-1, 1, (50, 3))
+    colors = rng.uniform(0, 1, (50, 3))
+    splats = splats_mod.init_splats(pts, colors, capacity=128, sh_degree=1)
+    tx = splats_mod.make_optimizer(1.0)
+    opt_state = tx.init(splats_mod.float_params(splats))
+    state = strat_mod.init_state(128)
+    # fake gradients: first 10 gaussians "hot"
+    g = np.zeros((128, 2))
+    g[:10] = 0.01
+    state = strat_mod.accumulate(state, jnp.asarray(g),
+                                 jnp.ones(128), jnp.ones(128, bool))
+    # make some gaussians too faint -> pruned
+    op = np.array(splats.opacities)
+    op[40:50] = -10.0
+    splats = splats._replace(opacities=jnp.asarray(op))
+
+    key = jax.random.PRNGKey(0)
+    new_splats, opt_state, state, n_grow, n_prune = strat_mod.refine(
+        splats, opt_state, state, key, scene_scale=1.0)
+    assert int(n_grow) == 10
+    assert int(n_prune) == 10
+    assert int(np.asarray(new_splats.alive).sum()) == 50 + 10 - 10
