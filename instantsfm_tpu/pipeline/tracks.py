@@ -43,12 +43,16 @@ def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict,
     n_edges = len(node1)
     e1, e2 = inv[:n_edges], inv[n_edges:]
 
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import connected_components
-
     V = len(nodes)
-    adj = sp.coo_matrix((np.ones(n_edges, np.int8), (e1, e2)), shape=(V, V))
-    _, labels = connected_components(adj, directed=False)
+    from instantsfm_tpu import native
+    labels = native.connected_components(e1, e2, V)
+    if labels is None:  # no C++ toolchain: scipy fallback
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import connected_components
+
+        adj = sp.coo_matrix((np.ones(n_edges, np.int8), (e1, e2)),
+                            shape=(V, V))
+        _, labels = connected_components(adj, directed=False)
 
     counts = np.bincount(e1, minlength=V) + np.bincount(e2, minlength=V)
     img = (nodes >> 32).astype(np.int32)

@@ -48,15 +48,20 @@ def extract_point_colors(images: Images, tracks: Tracks, image_path: str) -> Non
         h, w = img.shape[:2]
         xy = images.kp_xy[images.kp_index(np.full(sel.sum(), i),
                                           tracks.obs_feature[sel])] - 0.5
-        x, y = xy[:, 0], xy[:, 1]
-        ok = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
-        x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
-        fx, fy = x - x0, y - y0
-        x0c, y0c = np.clip(x0, 0, w - 2), np.clip(y0, 0, h - 2)
-        c = (img[y0c, x0c] * ((1 - fx) * (1 - fy))[:, None]
-             + img[y0c, x0c + 1] * (fx * (1 - fy))[:, None]
-             + img[y0c + 1, x0c] * ((1 - fx) * fy)[:, None]
-             + img[y0c + 1, x0c + 1] * (fx * fy)[:, None])
+        from instantsfm_tpu import native
+        c = native.bilinear_sample(img[..., :3].astype(np.uint8), xy)
+        if c is None:  # numpy fallback
+            x, y = xy[:, 0], xy[:, 1]
+            okb = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
+            x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+            fx, fy = x - x0, y - y0
+            x0c, y0c = np.clip(x0, 0, w - 2), np.clip(y0, 0, h - 2)
+            c = (img[y0c, x0c] * ((1 - fx) * (1 - fy))[:, None]
+                 + img[y0c, x0c + 1] * (fx * (1 - fy))[:, None]
+                 + img[y0c + 1, x0c] * ((1 - fx) * fy)[:, None]
+                 + img[y0c + 1, x0c + 1] * (fx * fy)[:, None])[:, :3]
+            c = np.where(okb[:, None], c, -1.0)
+        ok = c[:, 0] >= 0
         t_sel = tr_idx[sel]
         np.add.at(sums, t_sel[ok], c[ok][:, :3])
         np.add.at(counts, t_sel[ok], 1.0)
