@@ -83,30 +83,45 @@ def main():
     import jax.numpy as jnp
 
     from instantsfm_tpu.solve import robust
-    from instantsfm_tpu.solve.block_lm import LMConfig, LMState, lm_step
+    from instantsfm_tpu.solve.block_lm import (LMConfig, LMState, Observations,
+                                               Params, lm_step)
+    from instantsfm_tpu.solve.blocked import bucketize
 
     problem, params, obs = make_ba()
     cfg = LMConfig(pcg_iters=25, pcg_tol=1e-4, max_rejects=2)
     kernel = robust.huber(1.0)
 
-    from functools import partial
+    # bucketed track layout (the TPU fast path used by the pipeline stages)
+    bp = bucketize(obs.cam_idx, obs.pt_idx, obs.data, obs.valid,
+                   params.scales, params.scales_free, params.pts.shape[0])
+    dtype = params.pts.dtype
+    params = Params(cam=params.cam,
+                    pts=params.pts[jnp.asarray(bp.point_perm)],
+                    scales=jnp.asarray(bp.scales, dtype),
+                    scales_free=jnp.asarray(bp.scales_free))
+    obs = Observations(cam_idx=jnp.asarray(bp.cam_idx),
+                       pt_idx=jnp.asarray(bp.pt_idx),
+                       data={k: jnp.asarray(v, dtype)
+                             for k, v in bp.data.items()},
+                       valid=jnp.asarray(bp.valid))
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def run(state, obs, iters):
-        def body(s, _):
-            s = lm_step(problem, kernel, cfg, s, obs)
-            return s, s.cost
-        return jax.lax.scan(body, state, None, length=iters)
-
+    # host-driven stepping — the production pattern (the pipeline checks
+    # convergence on the host each iteration, like the reference's loop).
+    # NB: wrapping the step in lax.scan is ~25x slower on TPU (the nested
+    # reject while_loop defeats XLA's buffer reuse inside scan).
+    step = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
+                                        buckets=bp.buckets))
     state = LMState(params, jnp.asarray(1e-4, params.pts.dtype),
                     jnp.asarray(jnp.inf, params.pts.dtype))
 
-    N_WARm, N = 2, 20
-    s1, _ = run(state, obs, N_WARm)
-    jax.block_until_ready(s1.cost)
+    N_WARM, N = 3, 20
+    for _ in range(N_WARM):
+        state = step(state, obs)
+    jax.block_until_ready(state.cost)
     t0 = time.perf_counter()
-    s2, costs = run(s1, obs, N)
-    jax.block_until_ready(s2.cost)
+    for _ in range(N):
+        state = step(state, obs)
+    jax.block_until_ready(state.cost)
     dt = time.perf_counter() - t0
     iters_per_sec = N / dt
 

@@ -81,13 +81,16 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
                    radius_init=1e4, radius_max=1e10)
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
+    from instantsfm_tpu.solve.blocked import bucketize_problem
+    params, obs, buckets, perm, unperm = bucketize_problem(params, obs)
     state, history = optimize(problem, kernel, cfg, params, obs,
-                              verbose=verbose, callback=callback)
+                              verbose=verbose, callback=callback,
+                              buckets=buckets)
 
-    # ---- write back
+    # ---- write back (points return in bucket-permuted order)
     images.qvec[u_img] = np.asarray(state.params.cam["q"], np.float64)
     images.tvec[u_img] = np.asarray(state.params.cam["t"], np.float64)
-    tracks.xyz[u_trk] = np.asarray(state.params.pts, np.float64)
+    tracks.xyz[u_trk] = np.asarray(state.params.pts, np.float64)[unperm]
 
     intr = np.asarray(state.params.cam["intr"], np.float64)
     cam_of_img = images.cam_idx[u_img]

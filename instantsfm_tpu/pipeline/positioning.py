@@ -97,13 +97,16 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
                    radius_init=1e3, radius_max=1e8)
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
+    from instantsfm_tpu.solve.blocked import bucketize_problem
+    params, obs, buckets, perm, unperm = bucketize_problem(params, obs)
     state, history = optimize(problem, kernel, cfg, params, obs,
-                              verbose=verbose, callback=callback)
+                              verbose=verbose, callback=callback,
+                              buckets=buckets)
 
     # ---- write back (ConvertResults: t = -R c, reference :41-43)
     new_centers = np.asarray(state.params.cam["c"], np.float64)
     images.tvec[reg_idx] = np.asarray(
         -lie.quat_rotate(jnp.asarray(images.qvec[reg_idx]),
                          jnp.asarray(new_centers)))
-    tracks.xyz = np.array(state.params.pts, np.float64)
+    tracks.xyz = np.array(state.params.pts, np.float64)[unperm]
     return tracks

@@ -132,6 +132,24 @@ def _seg_by_cam(x, cam_idx, C):
     return out.reshape((C,) + shape[1:])
 
 
+def _seg_by_pt(x, pt_idx, T, buckets):
+    """Point-indexed reduction: reshape-sums when the bucketed track layout
+    is active (solve/blocked.py), sorted segment-sum otherwise."""
+    if buckets:
+        from instantsfm_tpu.solve.blocked import seg_by_pt
+        return seg_by_pt(x, buckets, T)
+    return jax.ops.segment_sum(x, pt_idx, num_segments=T,
+                               indices_are_sorted=True)
+
+
+def _gather_by_pt(arr, pt_idx, buckets, O):
+    """Point-indexed gather: broadcast per bucket, or plain gather."""
+    if buckets:
+        from instantsfm_tpu.solve.blocked import gather_pt
+        return gather_pt(arr, buckets, O)
+    return arr[pt_idx]
+
+
 def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel) -> jnp.ndarray:
     """Robust cost sum_o rho(||r_o||^2) over valid observations."""
@@ -153,7 +171,7 @@ def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
 
 def build_system(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel,
-                 num_points: int) -> NormalSystem:
+                 num_points: int, buckets: tuple = ()) -> NormalSystem:
     """Evaluate residuals + per-block Jacobians, apply robust whitening and
     (optionally) eliminate per-observation scalars; reduce into U/V/W/g."""
     PC, R = problem.cam_dim, problem.res_dim
@@ -205,10 +223,8 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     g_cam = _seg_by_cam(gc_o, obs.cam_idx, C)
     # observations are sorted by point (CSR track layout) throughout the
     # pipeline; padded tails use the last point index so sortedness holds.
-    V = jax.ops.segment_sum(V_o, obs.pt_idx, num_segments=num_points,
-                            indices_are_sorted=True)
-    g_pt = jax.ops.segment_sum(gp_o, obs.pt_idx, num_segments=num_points,
-                               indices_are_sorted=True)
+    V = _seg_by_pt(V_o, obs.pt_idx, num_points, buckets)
+    g_pt = _seg_by_pt(gp_o, obs.pt_idx, num_points, buckets)
 
     return NormalSystem(U=U, V=V, W=W, g_cam=g_cam, g_pt=g_pt,
                         Hss=Hss, Jc_s=Jc_s, Jp_s=Jp_s, g_s=g_s, cost=cost)
@@ -263,7 +279,8 @@ def _tri3_solve(L, B):
 
 def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                  lam, pcg_iters: int = 100, pcg_tol: float = 1e-5,
-                 eps: float = 1e-8, dense_schur: Optional[bool] = None):
+                 eps: float = 1e-8, dense_schur: Optional[bool] = None,
+                 buckets: tuple = ()):
     """Solve (H + lam diag(H)) dx = g via scalar elimination -> point (Schur)
     elimination -> reduced camera system.  The reduced system is solved either
     exactly by dense Cholesky (``dense_schur``, the MXU-friendly fast path for
@@ -291,12 +308,10 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
         U = U - _seg_by_cam(U_corr, obs.cam_idx, C)
-        V = V - jax.ops.segment_sum(V_corr, obs.pt_idx, num_segments=T,
-                                    indices_are_sorted=True)
+        V = V - _seg_by_pt(V_corr, obs.pt_idx, T, buckets)
         W = W - W_corr
         g_cam = g_cam - _seg_by_cam(gc_corr, obs.cam_idx, C)
-        g_pt = g_pt - jax.ops.segment_sum(gp_corr, obs.pt_idx, num_segments=T,
-                                          indices_are_sorted=True)
+        g_pt = g_pt - _seg_by_pt(gp_corr, obs.pt_idx, T, buckets)
 
     U_d = _damped(U, lam, eps)
     if not problem.has_points:
@@ -310,9 +325,12 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     V_inv = _inv3x3(V_d)
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
 
+    O = W.shape[0]
     # rhs: g_cam - W V^-1 g_pt
     rhs = g_cam - _seg_by_cam(
-        jnp.einsum("oij,oj->oi", W, jnp.einsum("pij,pj->pi", V_inv, g_pt)[pt_idx]),
+        jnp.einsum("oij,oj->oi", W,
+                   _gather_by_pt(jnp.einsum("pij,pj->pi", V_inv, g_pt),
+                                 pt_idx, buckets, O)),
         cam_idx, C)
 
     if dense_schur:
@@ -320,7 +338,8 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         # Y[3p, c*PC:...] = L_p^{-1} W_oᵀ (L_p = chol(V_d)); one scatter builds
         # Y, one MXU contraction builds S, one Cholesky solves it.
         L = _chol3x3(V_d)
-        P = _tri3_solve(L[pt_idx], jnp.swapaxes(W, -1, -2))   # [O, 3, PC]
+        P = _tri3_solve(_gather_by_pt(L, pt_idx, buckets, O),
+                        jnp.swapaxes(W, -1, -2))   # [O, 3, PC]
         n = C * PC
         rows = (pt_idx[:, None] * 3 + jnp.arange(3)[None, :])             # [O,3]
         cols = (cam_idx[:, None] * PC + jnp.arange(PC)[None, :])          # [O,PC]
@@ -340,15 +359,16 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         def schur_matvec(x):  # x: [C, PC]
             y = jnp.einsum("cij,cj->ci", U_d, x)
             t = jnp.einsum("oij,oi->oj", W, x[cam_idx])           # [O, 3]
-            s_p = jax.ops.segment_sum(t, pt_idx, num_segments=T,
-                                      indices_are_sorted=True)
+            s_p = _seg_by_pt(t, pt_idx, T, buckets)
             z = jnp.einsum("pij,pj->pi", V_inv, s_p)
-            u = jnp.einsum("oij,oj->oi", W, z[pt_idx])            # [O, PC]
+            u = jnp.einsum("oij,oj->oi", W,
+                           _gather_by_pt(z, pt_idx, buckets, O))  # [O, PC]
             y2 = _seg_by_cam(u, cam_idx, C)
             return y - y2
 
         # block-Jacobi preconditioner on the Schur diagonal
-        D_corr = jnp.einsum("oij,ojk,olk->oil", W, V_inv[pt_idx], W)
+        D_corr = jnp.einsum("oij,ojk,olk->oil", W,
+                            _gather_by_pt(V_inv, pt_idx, buckets, O), W)
         D = U_d - _seg_by_cam(D_corr, cam_idx, C)
         D = D + eps * jnp.eye(PC, dtype=D.dtype)
         D_inv = jnp.linalg.inv(D)
@@ -360,8 +380,8 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                               max_iters=pcg_iters, tol=pcg_tol)
 
     # back-substitute points: d_pt = V^-1 (g_pt - W^T d_cam)
-    wtd = jax.ops.segment_sum(jnp.einsum("oij,oi->oj", W, d_cam[cam_idx]),
-                              pt_idx, num_segments=T, indices_are_sorted=True)
+    wtd = _seg_by_pt(jnp.einsum("oij,oi->oj", W, d_cam[cam_idx]),
+                     pt_idx, T, buckets)
     d_pt = jnp.einsum("pij,pj->pi", V_inv, g_pt - wtd)
 
     d_s = _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps)
@@ -408,21 +428,23 @@ def _apply_step(problem, params: Params, d_cam, d_pt, d_s) -> Params:
 
 
 def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
-            cfg: LMConfig, state: LMState, obs: Observations) -> LMState:
+            cfg: LMConfig, state: LMState, obs: Observations,
+            buckets: tuple = ()) -> LMState:
     """One LM iteration: build system once, retry the damped solve with
     increasing damping until the cost decreases (or budget exhausted).
     Mirrors the reference's TrustRegion(up=2.0, down=0.5**4) + reject=30
     (``processors/bundle_adjustment.py:116-119``)."""
     params = state.params
     T = params.pts.shape[0]
-    sys = build_system(problem, params, obs, kernel, num_points=T)
+    sys = build_system(problem, params, obs, kernel, num_points=T,
+                       buckets=buckets)
 
     dense = None if cfg.solver == "auto" else (cfg.solver == "dense")
 
     def try_lam(lam):
         d_cam, d_pt, d_s, _ = solve_damped(
             problem, sys, obs, lam, cfg.pcg_iters, cfg.pcg_tol,
-            dense_schur=dense)
+            dense_schur=dense, buckets=buckets)
         cand = _apply_step(problem, params, d_cam, d_pt, d_s)
         new_cost = compute_cost(problem, cand, obs, kernel)
         return cand, new_cost
@@ -457,13 +479,13 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
 
 def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
              cfg: LMConfig, params: Params, obs: Observations,
-             verbose: bool = False, callback=None):
+             verbose: bool = False, callback=None, buckets: tuple = ()):
     """Host-driven LM loop with the reference's moving-window convergence test
     (``bundle_adjustment.py:128-141``): stop when the relative improvement of
     the last `window` losses vs the previous window is below tolerance."""
     import numpy as np
 
-    step = jax.jit(partial(lm_step, problem, kernel, cfg))
+    step = jax.jit(partial(lm_step, problem, kernel, cfg, buckets=buckets))
     state = LMState(params, jnp.asarray(1.0 / cfg.radius_init,
                                         params.pts.dtype), jnp.asarray(jnp.inf))
     history = []

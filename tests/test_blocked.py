@@ -1,0 +1,76 @@
+"""Bucketed track layout must reproduce the flat solver exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instantsfm_tpu.solve import robust
+from instantsfm_tpu.solve.block_lm import (LMConfig, LMState, Observations,
+                                           Params, lm_step)
+from instantsfm_tpu.solve.blocked import bucketize
+from tests.synthetic import make_scene
+from tests.test_block_lm import _ba_setup
+
+
+def test_bucketized_matches_flat():
+    scene = make_scene(num_cams=10, num_pts=120, vis_prob=0.7)
+    problem, params, obs = _ba_setup(scene)
+    kernel = robust.huber(1.0)
+    cfg = LMConfig(max_iterations=3, pcg_iters=60, solver="pcg")
+
+    bp = bucketize(obs.cam_idx, obs.pt_idx, obs.data, obs.valid,
+                   params.scales, params.scales_free, params.pts.shape[0])
+    params_b = Params(cam=params.cam,
+                      pts=params.pts[jnp.asarray(bp.point_perm)],
+                      scales=jnp.asarray(bp.scales),
+                      scales_free=jnp.asarray(bp.scales_free))
+    obs_b = Observations(cam_idx=jnp.asarray(bp.cam_idx),
+                         pt_idx=jnp.asarray(bp.pt_idx),
+                         data={k: jnp.asarray(v) for k, v in bp.data.items()},
+                         valid=jnp.asarray(bp.valid))
+
+    step_flat = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o))
+    step_blk = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
+                                            buckets=bp.buckets))
+
+    s_f = LMState(params, jnp.asarray(1e-4), jnp.asarray(jnp.inf))
+    s_b = LMState(params_b, jnp.asarray(1e-4), jnp.asarray(jnp.inf))
+    for _ in range(3):
+        s_f = step_flat(s_f, obs)
+        s_b = step_blk(s_b, obs_b)
+
+    # identical math, different summation order -> tiny float drift
+    np.testing.assert_allclose(float(s_b.cost), float(s_f.cost), rtol=1e-4)
+    # points come back in permuted order
+    pts_b = np.asarray(s_b.params.pts)[np.asarray(bp.point_unperm)]
+    np.testing.assert_allclose(pts_b, np.asarray(s_f.params.pts), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_b.params.cam["q"]),
+                               np.asarray(s_f.params.cam["q"]), atol=1e-7)
+
+
+def test_bucketize_roundtrip(rng):
+    """Every (cam, pt, data) observation survives bucketization."""
+    T = 37
+    lengths = rng.integers(1, 9, T)
+    pt_idx = np.repeat(np.arange(T), lengths)
+    O = len(pt_idx)
+    cam_idx = rng.integers(0, 5, O).astype(np.int32)
+    data = {"xy": rng.standard_normal((O, 2))}
+    valid = rng.uniform(size=O) > 0.1
+    bp = bucketize(cam_idx, pt_idx, data, valid, np.ones((O, 1)),
+                   np.ones(O, bool), T)
+    # collect back (valid rows only need to match; padding must be invalid)
+    got = set()
+    for k in range(len(bp.valid)):
+        if bp.valid[k]:
+            old_pt = bp.point_perm[bp.pt_idx[k]]
+            got.add((int(bp.cam_idx[k]), int(old_pt),
+                     round(float(bp.data["xy"][k, 0]), 6)))
+    want = {(int(c), int(p), round(float(x), 6))
+            for c, p, x, v in zip(cam_idx, pt_idx, data["xy"][:, 0], valid)
+            if v}
+    assert got == want
+    # bucket ranges tile the arrays
+    total = sum(Tb * L for (_, _, Tb, L) in bp.buckets)
+    assert total == len(bp.valid)
+    assert sum(Tb for (_, _, Tb, L) in bp.buckets) == T
