@@ -65,7 +65,9 @@ def _nullvec9(A_rows, row_mask):
     w = row_mask[..., None].astype(A_rows.dtype)
     AtA = jnp.einsum("...si,...sj->...ij", A_rows * w, A_rows)
     tr = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
-    M = AtA + 1e-10 * tr * jnp.eye(9, dtype=A_rows.dtype)
+    # ridge must sit above the dtype's representable precision of AtA
+    ridge = 100.0 * jnp.finfo(A_rows.dtype).eps
+    M = AtA + ridge * tr * jnp.eye(9, dtype=A_rows.dtype)
 
     def body(_, v):
         v = jnp.linalg.solve(M, v[..., None])[..., 0]
@@ -158,10 +160,19 @@ def homography_error(H, x1, x2):
 def decompose_essential(E):
     """E -> (R1, R2, t): the four candidate poses are (R1,t),(R1,-t),(R2,t),(R2,-t)."""
     U, s, V = svd3x3(E)
-    # make proper rotations: negate the WHOLE matrix (det flips for 3x3);
-    # flipping a single column would change the candidate rotation set.
-    U = U * jnp.linalg.det(U)[..., None, None]
-    V = V * jnp.linalg.det(V)[..., None, None]
+    # svd3x3's U can drift from orthonormality in low precision (columns come
+    # from M V / s); Gram-Schmidt + cross product gives an exactly orthonormal
+    # right-handed U (det +1).  V is orthonormal from eigh; negate the whole
+    # matrix if improper (det flips for 3x3 — single-column flips would change
+    # the candidate rotation set).
+    u1 = U[..., :, 0]
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), _EPS)
+    u2 = U[..., :, 1]
+    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), _EPS)
+    u3 = jnp.cross(u1, u2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    V = V * jnp.sign(jnp.linalg.det(V))[..., None, None]
     W = jnp.array([[0., -1., 0.], [1., 0., 0.], [0., 0., 1.]], E.dtype)
     Vt = jnp.swapaxes(V, -1, -2)
     R1 = U @ W @ Vt
