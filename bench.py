@@ -92,25 +92,15 @@ def main():
     kernel = robust.huber(1.0)
 
     # bucketed track layout (the TPU fast path used by the pipeline stages)
-    bp = bucketize(obs.cam_idx, obs.pt_idx, obs.data, obs.valid,
-                   params.scales, params.scales_free, params.pts.shape[0])
-    dtype = params.pts.dtype
-    params = Params(cam=params.cam,
-                    pts=params.pts[jnp.asarray(bp.point_perm)],
-                    scales=jnp.asarray(bp.scales, dtype),
-                    scales_free=jnp.asarray(bp.scales_free))
-    obs = Observations(cam_idx=jnp.asarray(bp.cam_idx),
-                       pt_idx=jnp.asarray(bp.pt_idx),
-                       data={k: jnp.asarray(v, dtype)
-                             for k, v in bp.data.items()},
-                       valid=jnp.asarray(bp.valid))
+    from instantsfm_tpu.solve.blocked import bucketize_problem
+    params, obs, buckets, point_slots = bucketize_problem(params, obs)
 
     # host-driven stepping — the production pattern (the pipeline checks
     # convergence on the host each iteration, like the reference's loop).
     # NB: wrapping the step in lax.scan is ~25x slower on TPU (the nested
     # reject while_loop defeats XLA's buffer reuse inside scan).
     step = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
-                                        buckets=bp.buckets))
+                                        buckets=buckets))
     state = LMState(params, jnp.asarray(1e-4, params.pts.dtype),
                     jnp.asarray(jnp.inf, params.pts.dtype))
 

@@ -82,15 +82,15 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
     from instantsfm_tpu.solve.blocked import bucketize_problem
-    params, obs, buckets, perm, unperm = bucketize_problem(params, obs)
+    params, obs, buckets, point_slots = bucketize_problem(params, obs)
     state, history = optimize(problem, kernel, cfg, params, obs,
                               verbose=verbose, callback=callback,
                               buckets=buckets)
 
-    # ---- write back (points return in bucket-permuted order)
+    # ---- write back (points live in bucket slots)
     images.qvec[u_img] = np.asarray(state.params.cam["q"], np.float64)
     images.tvec[u_img] = np.asarray(state.params.cam["t"], np.float64)
-    tracks.xyz[u_trk] = np.asarray(state.params.pts, np.float64)[unperm]
+    tracks.xyz[u_trk] = np.asarray(state.params.pts, np.float64)[point_slots]
 
     intr = np.asarray(state.params.cam["intr"], np.float64)
     cam_of_img = images.cam_idx[u_img]

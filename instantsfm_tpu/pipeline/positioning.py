@@ -98,7 +98,7 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
     from instantsfm_tpu.solve.blocked import bucketize_problem
-    params, obs, buckets, perm, unperm = bucketize_problem(params, obs)
+    params, obs, buckets, point_slots = bucketize_problem(params, obs)
     state, history = optimize(problem, kernel, cfg, params, obs,
                               verbose=verbose, callback=callback,
                               buckets=buckets)
@@ -108,5 +108,5 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
     images.tvec[reg_idx] = np.asarray(
         -lie.quat_rotate(jnp.asarray(images.qvec[reg_idx]),
                          jnp.asarray(new_centers)))
-    tracks.xyz = np.array(state.params.pts, np.float64)[unperm]
+    tracks.xyz = np.array(state.params.pts, np.float64)[point_slots]
     return tracks

@@ -32,6 +32,8 @@ class BucketedProblem(NamedTuple):
     buckets: Tuple            # static ((obs_start, pt_start, Tb, L), ...)
     point_perm: np.ndarray    # [T] new_pts[i] = old_pts[point_perm[i]]
     point_unperm: np.ndarray  # [T] old index of new point i -> inverse map
+    num_slots: int = 0        # padded point-slot count (>= T)
+    point_slots: np.ndarray = None  # [T] slot of each ORIGINAL point
 
 
 def _bucket_len(n: int) -> int:
@@ -42,8 +44,13 @@ def _bucket_len(n: int) -> int:
 
 
 def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
-              num_points: int) -> BucketedProblem:
-    """Inputs are the flat (sorted-by-point) observation arrays."""
+              num_points: int, track_pad: int = 256) -> BucketedProblem:
+    """Inputs are the flat (sorted-by-point) observation arrays.
+
+    ``track_pad`` rounds each bucket's track count up to a multiple, so
+    repeated solves with mildly different track counts reuse the same jit
+    cache (no recompile per BA round); padded tracks are fully invalid.
+    """
     cam_idx = np.asarray(cam_idx)
     pt_idx = np.asarray(pt_idx)
     valid = np.asarray(valid)
@@ -71,18 +78,23 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
     out_data = {k: [] for k in data}
     obs_cursor = 0
     out_cursor = 0
-    pt_cursor = 0
+    pt_cursor = 0        # padded slot cursor
+    pt_cursor_real = 0   # real (new-order) point cursor
     sorted_blen = blen[order_pts]
+    slot_of_new = np.empty(num_points, np.int64)
     for L in sorted(set(sorted_blen.tolist())):
         sel_pts = np.nonzero(sorted_blen == L)[0]
-        Tb = len(sel_pts)
+        Tb_real = len(sel_pts)
+        Tb = -(-Tb_real // track_pad) * track_pad if track_pad else Tb_real
         # observations of these new-point indices are contiguous in obs_order
         n_obs_b = int(lengths_all[order_pts[sel_pts]].sum())
         rows = obs_order[obs_cursor: obs_cursor + n_obs_b]
         obs_cursor += n_obs_b
+        slot_of_new[pt_cursor_real: pt_cursor_real + Tb_real] = \
+            pt_cursor + np.arange(Tb_real)
 
         # scatter into padded [Tb, L]
-        local_pt = point_unperm[pt_idx[rows]] - pt_cursor
+        local_pt = point_unperm[pt_idx[rows]] - pt_cursor_real
         pos = np.zeros(len(rows), np.int64)
         # position within track: running count per local_pt (rows sorted by pt)
         if len(rows):
@@ -111,6 +123,7 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
         buckets.append((out_cursor, pt_cursor, Tb, L))
         out_cursor += Tb * L
         pt_cursor += Tb
+        pt_cursor_real += Tb_real
 
     return BucketedProblem(
         cam_idx=np.concatenate(out_cam).astype(np.int32),
@@ -120,23 +133,32 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
         scales=np.concatenate(out_scales),
         scales_free=np.concatenate(out_sfree),
         buckets=tuple(buckets),
-        point_perm=point_perm, point_unperm=point_unperm)
+        point_perm=point_perm, point_unperm=point_unperm,
+        num_slots=int(pt_cursor),
+        point_slots=slot_of_new[point_unperm])
 
 
 # ------------------------- device-side bucket primitives (static buckets)
 
-def bucketize_problem(params, obs):
+def bucketize_problem(params, obs, track_pad: int = 256):
     """Convenience: (Params, Observations) -> bucketed versions + metadata.
-    Returns (params_b, obs_b, buckets, point_perm, point_unperm)."""
+
+    Returns (params_b, obs_b, buckets, point_slots): points are scattered into
+    padded slots (``pts_b[point_slots] = pts``); read back results with
+    ``pts_b[point_slots]``.
+    """
     from instantsfm_tpu.solve.block_lm import Observations, Params
 
     bp = bucketize(np.asarray(obs.cam_idx), np.asarray(obs.pt_idx),
                    {k: np.asarray(v) for k, v in obs.data.items()},
                    np.asarray(obs.valid), np.asarray(params.scales),
-                   np.asarray(params.scales_free), params.pts.shape[0])
+                   np.asarray(params.scales_free), params.pts.shape[0],
+                   track_pad=track_pad)
     dtype = params.pts.dtype
+    pts_b = np.zeros((bp.num_slots, 3), np.asarray(params.pts).dtype)
+    pts_b[bp.point_slots] = np.asarray(params.pts)
     params_b = Params(cam=params.cam,
-                      pts=params.pts[jnp.asarray(bp.point_perm)],
+                      pts=jnp.asarray(pts_b, dtype),
                       scales=jnp.asarray(bp.scales, dtype),
                       scales_free=jnp.asarray(bp.scales_free))
     obs_b = Observations(cam_idx=jnp.asarray(bp.cam_idx),
@@ -144,7 +166,7 @@ def bucketize_problem(params, obs):
                          data={k: jnp.asarray(v, dtype)
                                for k, v in bp.data.items()},
                          valid=jnp.asarray(bp.valid))
-    return params_b, obs_b, bp.buckets, bp.point_perm, bp.point_unperm
+    return params_b, obs_b, bp.buckets, bp.point_slots
 
 
 def seg_by_pt(vals, buckets, T):

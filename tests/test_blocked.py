@@ -18,20 +18,12 @@ def test_bucketized_matches_flat():
     kernel = robust.huber(1.0)
     cfg = LMConfig(max_iterations=3, pcg_iters=60, solver="pcg")
 
-    bp = bucketize(obs.cam_idx, obs.pt_idx, obs.data, obs.valid,
-                   params.scales, params.scales_free, params.pts.shape[0])
-    params_b = Params(cam=params.cam,
-                      pts=params.pts[jnp.asarray(bp.point_perm)],
-                      scales=jnp.asarray(bp.scales),
-                      scales_free=jnp.asarray(bp.scales_free))
-    obs_b = Observations(cam_idx=jnp.asarray(bp.cam_idx),
-                         pt_idx=jnp.asarray(bp.pt_idx),
-                         data={k: jnp.asarray(v) for k, v in bp.data.items()},
-                         valid=jnp.asarray(bp.valid))
+    from instantsfm_tpu.solve.blocked import bucketize_problem
+    params_b, obs_b, buckets, point_slots = bucketize_problem(params, obs)
 
     step_flat = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o))
     step_blk = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
-                                            buckets=bp.buckets))
+                                            buckets=buckets))
 
     s_f = LMState(params, jnp.asarray(1e-4), jnp.asarray(jnp.inf))
     s_b = LMState(params_b, jnp.asarray(1e-4), jnp.asarray(jnp.inf))
@@ -41,8 +33,8 @@ def test_bucketized_matches_flat():
 
     # identical math, different summation order -> tiny float drift
     np.testing.assert_allclose(float(s_b.cost), float(s_f.cost), rtol=1e-4)
-    # points come back in permuted order
-    pts_b = np.asarray(s_b.params.pts)[np.asarray(bp.point_unperm)]
+    # points live in bucket slots
+    pts_b = np.asarray(s_b.params.pts)[point_slots]
     np.testing.assert_allclose(pts_b, np.asarray(s_f.params.pts), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_b.params.cam["q"]),
                                np.asarray(s_f.params.cam["q"]), atol=1e-7)
@@ -58,19 +50,22 @@ def test_bucketize_roundtrip(rng):
     data = {"xy": rng.standard_normal((O, 2))}
     valid = rng.uniform(size=O) > 0.1
     bp = bucketize(cam_idx, pt_idx, data, valid, np.ones((O, 1)),
-                   np.ones(O, bool), T)
+                   np.ones(O, bool), T, track_pad=16)
+    # slot -> original point
+    slot_to_old = -np.ones(bp.num_slots, np.int64)
+    slot_to_old[bp.point_slots] = np.arange(T)
     # collect back (valid rows only need to match; padding must be invalid)
     got = set()
     for k in range(len(bp.valid)):
         if bp.valid[k]:
-            old_pt = bp.point_perm[bp.pt_idx[k]]
+            old_pt = slot_to_old[bp.pt_idx[k]]
             got.add((int(bp.cam_idx[k]), int(old_pt),
                      round(float(bp.data["xy"][k, 0]), 6)))
     want = {(int(c), int(p), round(float(x), 6))
             for c, p, x, v in zip(cam_idx, pt_idx, data["xy"][:, 0], valid)
             if v}
     assert got == want
-    # bucket ranges tile the arrays
+    # bucket ranges tile the arrays; padded slot count covers all points
     total = sum(Tb * L for (_, _, Tb, L) in bp.buckets)
     assert total == len(bp.valid)
-    assert sum(Tb for (_, _, Tb, L) in bp.buckets) == T
+    assert sum(Tb for (_, _, Tb, L) in bp.buckets) == bp.num_slots >= T
