@@ -91,16 +91,17 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     cover = (gtx <= tx1[:, None]) & (gty <= ty1[:, None]) & proj.valid[:, None]
     tile_ids = jnp.where(cover, gty * ntx + gtx, n_tiles)  # sentinel tile
 
-    # ---- global sort by (tile, depth): two stable argsorts
+    # ---- global sort by (tile, depth): ONE lax.sort on a packed 64-bit key
+    # (tile id in the high bits, monotone uint32 view of the positive depth in
+    # the low bits) — the radix-sort analog of gsplat's key packing.
     flat_tiles = tile_ids.reshape(-1)
-    flat_gauss = jnp.repeat(jnp.arange(G), side * side)
+    flat_gauss = jnp.repeat(jnp.arange(G, dtype=jnp.int32), side * side)
     flat_depth = proj.depths[flat_gauss]
-    order_d = jnp.argsort(flat_depth, stable=True)
-    tiles_d = flat_tiles[order_d]
-    order_t = jnp.argsort(tiles_d, stable=True)
-    order = order_d[order_t]
-    sorted_tiles = flat_tiles[order]
-    sorted_gauss = flat_gauss[order]
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(flat_depth, 0.0).astype(jnp.float32), jnp.int32)
+    key = (flat_tiles.astype(jnp.int64) << 32) | depth_bits.astype(jnp.int64)
+    sorted_key, sorted_gauss = jax.lax.sort((key, flat_gauss), num_keys=1)
+    sorted_tiles = (sorted_key >> 32).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles + 1))
     counts = starts[1:] - starts[:-1]
@@ -129,29 +130,46 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
 
     P = TILE * TILE
 
+    # Composite in chunks of gaussians: alphas for a whole chunk evaluate in
+    # parallel, the within-chunk front-to-back order is an exclusive cumprod,
+    # and only chunks are sequential (16 scan steps instead of 512 — scan-step
+    # dispatch latency dominated the naive one-gaussian-per-step loop).
+    CHUNK = min(16, tile_capacity)
+    n_chunks = (tile_capacity + CHUNK - 1) // CHUNK
+    pad_k = n_chunks * CHUNK - tile_capacity
+
+    def chunked(a):
+        if pad_k:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], pad_k) + a.shape[2:], a.dtype)], 1)
+        a = a.reshape((a.shape[0], n_chunks, CHUNK) + a.shape[2:])
+        return jnp.moveaxis(a, 1, 0)  # [n_chunks, n_tiles, CHUNK, ...]
+
     def composite_step(carry, inputs):
         T, rgb, dep = carry                           # [n_tiles,P],[...,3],[...]
         mean_k, conic_k, color_k, opac_k, depth_k = inputs
-        dxp = pix_x - mean_k[:, 0:1]
-        dyp = pix_y - mean_k[:, 1:2]
-        sigma = (conic_k[:, 0:1] * dxp * dxp
-                 + 2.0 * conic_k[:, 1:2] * dxp * dyp
-                 + conic_k[:, 2:3] * dyp * dyp)
-        alpha = jnp.minimum(opac_k[:, None] * jnp.exp(-0.5 * sigma), 0.999)
+        dxp = pix_x[:, None, :] - mean_k[..., 0:1]         # [tiles, CHUNK, P]
+        dyp = pix_y[:, None, :] - mean_k[..., 1:2]
+        sigma = (conic_k[..., 0:1] * dxp * dxp
+                 + 2.0 * conic_k[..., 1:2] * dxp * dyp
+                 + conic_k[..., 2:3] * dyp * dyp)
+        alpha = jnp.minimum(opac_k[..., None] * jnp.exp(-0.5 * sigma), 0.999)
         alpha = jnp.where(sigma > 0, alpha, 0.0)
         alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
-        w = T * alpha
-        rgb = rgb + w[..., None] * color_k[:, None, :]
-        dep = dep + w * depth_k[:, None]
-        T = T * (1.0 - alpha)
+        one_m = 1.0 - alpha
+        # exclusive cumulative transmittance within the chunk
+        T_in = jnp.cumprod(one_m, axis=1) / one_m.clip(1e-6)
+        w = T[:, None, :] * T_in * alpha                   # [tiles, CHUNK, P]
+        rgb = rgb + jnp.einsum("tkp,tkc->tpc", w, color_k)
+        dep = dep + jnp.sum(w * depth_k[..., None], axis=1)
+        T = T * jnp.prod(one_m, axis=1)
         return (T, rgb, dep), None
 
     T0 = jnp.ones((n_tiles, P), means.dtype)
     rgb0 = jnp.zeros((n_tiles, P, 3), means.dtype)
     dep0 = jnp.zeros((n_tiles, P), means.dtype)
-    scan_inputs = (jnp.moveaxis(g_mean, 1, 0), jnp.moveaxis(g_conic, 1, 0),
-                   jnp.moveaxis(g_color, 1, 0), jnp.moveaxis(g_opac, 1, 0),
-                   jnp.moveaxis(g_depth, 1, 0))
+    scan_inputs = (chunked(g_mean), chunked(g_conic), chunked(g_color),
+                   chunked(g_opac), chunked(g_depth))
     (T, rgb, dep), _ = jax.lax.scan(
         jax.checkpoint(composite_step), (T0, rgb0, dep0), scan_inputs)
     alpha_img = 1.0 - T
