@@ -40,11 +40,13 @@ class RasterOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree",
-                                   "tiles_per_gauss", "tile_capacity"))
+                                   "tiles_per_gauss", "tile_capacity",
+                                   "use_pallas"))
 def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
               width: int, height: int, sh_degree: int = 3,
               tiles_per_gauss: int = 16, tile_capacity: int = 512,
-              background=None, means2d_offset=None, eps2d: float = 0.3):
+              background=None, means2d_offset=None, eps2d: float = 0.3,
+              use_pallas: bool = False):
     """Full differentiable forward render.
 
     means [G,3], quats [G,4] xyzw, scales [G,3] (linear), opacities [G]
@@ -91,17 +93,16 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     cover = (gtx <= tx1[:, None]) & (gty <= ty1[:, None]) & proj.valid[:, None]
     tile_ids = jnp.where(cover, gty * ntx + gtx, n_tiles)  # sentinel tile
 
-    # ---- global sort by (tile, depth): ONE lax.sort on a packed 64-bit key
-    # (tile id in the high bits, monotone uint32 view of the positive depth in
-    # the low bits) — the radix-sort analog of gsplat's key packing.
-    flat_tiles = tile_ids.reshape(-1)
+    # ---- global sort by (tile, depth): one lexicographic 2-key lax.sort
+    # (the radix-sort analog of gsplat's packed keys; no 64-bit ints so it is
+    # correct with and without x64).
+    flat_tiles = tile_ids.reshape(-1).astype(jnp.int32)
     flat_gauss = jnp.repeat(jnp.arange(G, dtype=jnp.int32), side * side)
     flat_depth = proj.depths[flat_gauss]
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(flat_depth, 0.0).astype(jnp.float32), jnp.int32)
-    key = (flat_tiles.astype(jnp.int64) << 32) | depth_bits.astype(jnp.int64)
-    sorted_key, sorted_gauss = jax.lax.sort((key, flat_gauss), num_keys=1)
-    sorted_tiles = (sorted_key >> 32).astype(jnp.int32)
+    sorted_tiles, _, sorted_gauss = jax.lax.sort(
+        (flat_tiles, depth_bits, flat_gauss), num_keys=2)
 
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles + 1))
     counts = starts[1:] - starts[:-1]
@@ -129,6 +130,36 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     pix_y = (tile_y0[:, None] + py.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
 
     P = TILE * TILE
+
+    if use_pallas:
+        # VMEM-resident Pallas compositing (forward-only paths: eval/render)
+        from instantsfm_tpu.gs import pallas_raster
+        origin = jnp.stack([tile_x0, tile_y0], -1)
+        K_pad = -(-tile_capacity // pallas_raster.CHUNK) * pallas_raster.CHUNK
+        padk = lambda a: jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], K_pad - a.shape[1]) + a.shape[2:],
+                          a.dtype)], 1) if K_pad != a.shape[1] else a
+        attrs = pallas_raster.pack_attrs(
+            padk(g_mean), padk(g_conic), padk(g_color), padk(g_opac),
+            padk(g_depth))
+        interpret = jax.default_backend() == "cpu"
+        rgb, alpha_p, dep_p = pallas_raster.composite_tiles(
+            origin, attrs, interpret=interpret)
+        rgb = rgb.astype(means.dtype)
+        T = (1.0 - alpha_p).astype(means.dtype)
+        dep = dep_p.astype(means.dtype)
+        if background is not None:
+            rgb = rgb + T[..., None] * background[None, None, :]
+
+        def untile_p(a, ch):
+            a = a.reshape(nty, ntx, TILE, TILE, ch)
+            a = a.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, ch)
+            return a[:height, :width]
+
+        return RasterOut(rgb=untile_p(rgb, 3),
+                         alpha=untile_p((1.0 - T)[..., None], 1)[..., 0],
+                         depth=untile_p(dep[..., None], 1)[..., 0],
+                         radii=proj.radii, valid=proj.valid)
 
     # Composite in chunks of gaussians: alphas for a whole chunk evaluate in
     # parallel, the within-chunk front-to-back order is an exclusive cumprod,

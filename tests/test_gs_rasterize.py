@@ -95,3 +95,18 @@ def test_ssim_basics(rng):
     s = float(ssim(a, b))
     assert 0.05 < s < 0.95
     assert float(psnr(a, a)) > 100
+
+
+def test_pallas_compositing_matches_jnp(rng):
+    """Pallas tile kernel (interpret mode on CPU) vs the jnp compositing."""
+    W, H = 96, 64
+    args = _random_scene(rng, G=40)
+    out_jnp = rasterize.rasterize(*args, width=W, height=H, sh_degree=0,
+                                  tiles_per_gauss=36, tile_capacity=128)
+    out_pal = rasterize.rasterize(*args, width=W, height=H, sh_degree=0,
+                                  tiles_per_gauss=36, tile_capacity=128,
+                                  use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out_pal.rgb),
+                               np.asarray(out_jnp.rgb), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_pal.alpha),
+                               np.asarray(out_jnp.alpha), atol=2e-3)
