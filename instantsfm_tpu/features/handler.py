@@ -59,6 +59,25 @@ def generate_database(image_path: str, database_path: str,
     """Extract + match + write database.  ``sequential_overlap`` > 0 switches
     from exhaustive to sequential matching (reference's matcher choice,
     ``feature_handler.py:29-31``)."""
+    if feature_name == "colmap":
+        # passthrough to an installed COLMAP binary, like the reference's
+        # default front-end (``feature_handler.py:12-42``)
+        import shutil
+        import subprocess
+        if shutil.which("colmap") is None:
+            raise RuntimeError(
+                "feature_name='colmap' needs the COLMAP binary on PATH; "
+                "use the native front-end (default 'sift_tpu') instead")
+        subprocess.run(["colmap", "feature_extractor", "--image_path",
+                        image_path, "--database_path", database_path,
+                        "--ImageReader.camera_model", "SIMPLE_RADIAL"],
+                       check=True)
+        matcher = ("sequential_matcher" if sequential_overlap > 0
+                   else "exhaustive_matcher")
+        subprocess.run(["colmap", matcher, "--database_path", database_path],
+                       check=True)
+        return
+
     if min_num_matches is None:
         min_num_matches = (config.FEATURE_HANDLER_OPTIONS["min_num_matches"]
                            if config is not None else 30)

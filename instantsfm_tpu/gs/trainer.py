@@ -79,6 +79,19 @@ class Runner:
         self.valset = data_mod.Dataset(self.parser, "val")
         self.scene_scale = self.parser.scene_scale
 
+        if cfg.pose_noise > 0:
+            # perturb training poses (reference gsplat_trainer pose_noise);
+            # pose_opt can then recover them
+            prng = np.random.default_rng(7)
+            c2w = self.parser.camtoworlds.copy()
+            from scipy.spatial.transform import Rotation as R
+            dR = R.from_rotvec(
+                prng.standard_normal((len(c2w), 3)) * cfg.pose_noise)
+            c2w[:, :3, :3] = np.einsum("nij,njk->nik", dR.as_matrix(),
+                                       c2w[:, :3, :3])
+            c2w[:, :3, 3] += prng.standard_normal((len(c2w), 3)) * cfg.pose_noise
+            self.parser.camtoworlds = c2w
+
         pts = self.parser.points
         rgb = self.parser.points_rgb.astype(np.float32) / 255.0
         capacity = min(int(len(pts) * cfg.capacity_mult) + 1024,
@@ -174,17 +187,29 @@ class Runner:
     @partial(jax.jit, static_argnames=("self", "sh_degree"))
     def _train_step(self, splats, opt_state, aux, aux_state, batch,
                     sh_degree: int, key):
+        """One step over a BATCH of views (leading dim B on every batch
+        entry) — views vmap in parallel and gradients average, the mesh
+        analog of the reference's DDP data parallelism (B9)."""
         offset = jnp.zeros((splats.means.shape[0], 2), splats.means.dtype)
         alive = splats.alive
+        B = batch["image"].shape[0]
 
         def lf(fparams, aux, offset):
             sp = splats_mod.with_float_params(splats, fparams)
-            return self._loss(sp, aux, batch, offset, sh_degree, key)
+
+            def one(view, k):
+                return self._loss(sp, aux, view, offset, sh_degree, k)
+
+            keys = jax.random.split(key, B)
+            losses, (outs, l1s, ss) = jax.vmap(one)(batch, keys)
+            return jnp.mean(losses), (outs, jnp.mean(l1s), jnp.mean(ss))
 
         fparams = splats_mod.float_params(splats)
-        (loss, (out, l1, s)), grads = jax.value_and_grad(
+        (loss, (outs, l1, s)), grads = jax.value_and_grad(
             lf, argnums=(0, 1, 2), has_aux=True)(fparams, aux, offset)
         g_params, g_aux, g_offset = grads
+        radii = jnp.max(outs.radii, axis=0)     # densification stats over views
+        seen = jnp.any(outs.valid, axis=0)
 
         updates, opt_state = self.tx.update(g_params, opt_state, fparams)
         fparams = optax.apply_updates(fparams, updates)
@@ -198,7 +223,7 @@ class Runner:
             new_aux_state[k] = st
 
         return (splats, opt_state, new_aux, new_aux_state, loss, l1, s,
-                g_offset, out.radii, out.valid)
+                g_offset, radii, seen)
 
     def train(self):
         cfg = self.cfg
@@ -207,23 +232,26 @@ class Runner:
         t_start = time.time()
         losses = []
         for step in range(cfg.max_steps):
-            i = int(rng.integers(0, len(self.trainset)))
-            b = self.trainset[i]
+            views = [self.trainset[int(rng.integers(0, len(self.trainset)))]
+                     for _ in range(cfg.batch_size)]
             batch = {
-                "image": jnp.asarray(b["image"]),
-                "K": jnp.asarray(b["K"], jnp.float32),
-                "camtoworld": jnp.asarray(b["camtoworld"], jnp.float32),
-                "image_id": jnp.asarray(b["image_id"]),
+                "image": jnp.asarray(np.stack([v["image"] for v in views])),
+                "K": jnp.asarray(np.stack([v["K"] for v in views]), jnp.float32),
+                "camtoworld": jnp.asarray(
+                    np.stack([v["camtoworld"] for v in views]), jnp.float32),
+                "image_id": jnp.asarray([v["image_id"] for v in views]),
             }
             if cfg.depth_loss:
-                pts = np.zeros((max_depth_pts, 2), np.float32)
-                dep = np.zeros(max_depth_pts, np.float32)
-                ok = np.zeros(max_depth_pts, bool)
-                n = min(len(b.get("points", [])), max_depth_pts)
-                if n:
-                    pts[:n] = b["points"][:n]
-                    dep[:n] = b["depths"][:n]
-                    ok[:n] = True
+                B = cfg.batch_size
+                pts = np.zeros((B, max_depth_pts, 2), np.float32)
+                dep = np.zeros((B, max_depth_pts), np.float32)
+                ok = np.zeros((B, max_depth_pts), bool)
+                for bi, v in enumerate(views):
+                    n = min(len(v.get("points", [])), max_depth_pts)
+                    if n:
+                        pts[bi, :n] = v["points"][:n]
+                        dep[bi, :n] = v["depths"][:n]
+                        ok[bi, :n] = True
                 batch["points"] = jnp.asarray(pts)
                 batch["depths"] = jnp.asarray(dep)
                 batch["points_valid"] = jnp.asarray(ok)
