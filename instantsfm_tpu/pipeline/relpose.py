@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from instantsfm_tpu.math import epipolar, lie
+from instantsfm_tpu.math import epipolar, fivepoint, lie
 from instantsfm_tpu.scene import cameras as cam_models
 from instantsfm_tpu.scene.types import (CONFIG_CALIBRATED, CONFIG_PANORAMIC,
                                         CONFIG_PLANAR,
@@ -97,6 +97,77 @@ def _ransac_fundamental_like(x1, x2, valid, key, num_hyps: int, thresh_sq,
     return F, inliers
 
 
+@partial(jax.jit, static_argnames=("num_hyps", "score_chunk"))
+def _ransac_essential_5pt(x1, x2, valid, key, num_hyps: int, thresh_sq,
+                          score_chunk: int = 512):
+    """Minimal 5-point RANSAC for E (cv2.findEssentialMat parity).
+
+    Each hypothesis yields up to ``fivepoint.NUM_ROOT_SLOTS`` candidate
+    essential matrices; all candidates are Sampson-scored in fixed-size
+    chunks (bounded memory), the argmax recomputes its inlier set, and two
+    LO rounds (8-point on inliers) refine the winner.
+    x1, x2: [P, M, 2] normalized coords; valid: [P, M].
+    """
+    P, M, _ = x1.shape
+    counts = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+    u = jax.random.uniform(key, (P, num_hyps, 5))
+    idx = jnp.minimum((u * counts[:, None, None]).astype(jnp.int32), M - 1)
+    s1 = jnp.stack([jnp.take_along_axis(x1[:, None, :, 0], idx, axis=-1),
+                    jnp.take_along_axis(x1[:, None, :, 1], idx, axis=-1)], -1)
+    s2 = jnp.stack([jnp.take_along_axis(x2[:, None, :, 0], idx, axis=-1),
+                    jnp.take_along_axis(x2[:, None, :, 1], idx, axis=-1)], -1)
+
+    E_h, ok = fivepoint.five_point(s1, s2)          # [P,H,S,3,3], [P,H,S]
+    S = fivepoint.NUM_ROOT_SLOTS
+    nc = num_hyps * S
+    pad = (-nc) % score_chunk
+    cand = E_h.reshape(P, nc, 3, 3)
+    cok = ok.reshape(P, nc)
+    if pad:
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype),
+                                    (P, pad, 3, 3))], axis=1)
+        cok = jnp.concatenate([cok, jnp.zeros((P, pad), bool)], axis=1)
+    nchunk = cand.shape[1] // score_chunk
+    cand = cand.reshape(P, nchunk, score_chunk, 3, 3).swapaxes(0, 1)
+    cok = cok.reshape(P, nchunk, score_chunk).swapaxes(0, 1)
+
+    def body(carry, chunk):
+        best_cnt, best_E = carry
+        Ec, okc = chunk
+        err = epipolar.sampson_error(Ec, x1[:, None], x2[:, None])
+        cnt = jnp.sum((err < thresh_sq) & valid[:, None],
+                      axis=-1, dtype=jnp.int32)
+        cnt = jnp.where(okc, cnt, -1)
+        top = jnp.argmax(cnt, axis=-1)
+        top_cnt = jnp.take_along_axis(cnt, top[:, None], axis=-1)[:, 0]
+        top_E = jnp.take_along_axis(Ec, top[:, None, None, None], axis=1)[:, 0]
+        better = top_cnt > best_cnt
+        return (jnp.where(better, top_cnt, best_cnt),
+                jnp.where(better[:, None, None], top_E, best_E)), None
+
+    init = (jnp.full((P,), -1, jnp.int32),
+            jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype), (P, 3, 3)))
+    (best_cnt, E), _ = jax.lax.scan(body, init, (cand, cok))
+    err = epipolar.sampson_error(E, x1, x2)
+    inliers = (err < thresh_sq) & valid
+
+    # local optimization: re-estimate from inliers (8-point), twice
+    def lo(_, carry):
+        E, inliers = carry
+        En = epipolar.eight_point(x1, x2, inliers, True)
+        err = epipolar.sampson_error(En, x1, x2)
+        new_inl = (err < thresh_sq) & valid
+        better = jnp.sum(new_inl, -1) > jnp.sum(inliers, -1)
+        E_keep = jnp.where(better[:, None, None], En, carry[0])
+        inl_keep = jnp.where(better[:, None], new_inl, inliers)
+        return E_keep, inl_keep
+
+    E, inliers = jax.lax.fori_loop(0, 2, lo, (E, inliers))
+    return E, inliers
+
+
 @partial(jax.jit, static_argnames=("num_hyps",))
 def _ransac_homography(x1, x2, valid, key, num_hyps: int, thresh_sq):
     P, M, _ = x1.shape
@@ -143,9 +214,16 @@ def _bucket(n, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)):
 def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
                            images: Images, num_hyps: int = 1024,
                            seed: int = 0, dtype=jnp.float64,
-                           chunk_pairs: int = 256) -> None:
+                           chunk_pairs: int = 256,
+                           five_point: bool = True,
+                           num_hyps_minimal: int = 192) -> None:
     """Estimate (R, t, inliers) for every valid pair; updates view_graph in
-    place (qvec/tvec/E_mat/F_mat/H_mat/inlier_mask/valid)."""
+    place (qvec/tvec/E_mat/F_mat/H_mat/inlier_mask/valid).
+
+    ``five_point=True`` estimates E with the minimal Nistér solver
+    (cv2.findEssentialMat parity; ~14 candidates per hypothesis so a smaller
+    ``num_hyps_minimal`` budget suffices); otherwise the 8-point projection
+    onto the essential manifold is used with the full ``num_hyps`` budget."""
     if images.kp_bearing is None:
         undistort_images(cameras, images, dtype)
 
@@ -176,12 +254,14 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
             chunk = rows[lo_i:lo_i + chunk_pairs]
             _process_chunk(view_graph, images, uv_all, np.array(chunk), M,
                            num_hyps, key, dtype,
-                           pad_to=chunk_pairs if len(chunk) < chunk_pairs else None)
+                           pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
+                           five_point=five_point,
+                           num_hyps_minimal=num_hyps_minimal)
             key = jax.random.split(key, 1)[0]
 
 
 def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
-                   pad_to=None):
+                   pad_to=None, five_point=True, num_hyps_minimal=192):
     P = pad_to if pad_to else len(rows)
     x1_pix = np.zeros((P, M, 2))
     x2_pix = np.zeros((P, M, 2))
@@ -206,10 +286,17 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
 
     jd = lambda a: jnp.asarray(a, dtype)
     key_e, key_f, key_h = jax.random.split(key, 3)
-    E, e_inl = _ransac_fundamental_like(jd(x1_norm), jd(x2_norm),
-                                        jnp.asarray(valid), key_e, num_hyps,
-                                        jnp.asarray(1e-3**2, dtype),
-                                        essential=True)
+    if five_point:
+        E, e_inl = _ransac_essential_5pt(jd(x1_norm), jd(x2_norm),
+                                         jnp.asarray(valid), key_e,
+                                         num_hyps_minimal,
+                                         jnp.asarray(1e-3**2, dtype))
+    else:
+        E, e_inl = _ransac_fundamental_like(jd(x1_norm), jd(x2_norm),
+                                            jnp.asarray(valid), key_e,
+                                            num_hyps,
+                                            jnp.asarray(1e-3**2, dtype),
+                                            essential=True)
 
     cfgs = view_graph.config[rows]
     sel_inl = np.array(e_inl)

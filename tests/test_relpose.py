@@ -140,3 +140,71 @@ def test_full_relpose_stage_noisy(rng):
     est_inl = vg.inlier_mask
     assert est_inl[gt_inlier].mean() > 0.4
     assert est_inl[~gt_inlier].mean() < 0.05
+
+
+def test_five_point_minimal_exact(rng):
+    """Nistér minimal solver recovers E exactly from 5 noiseless points
+    (reference default path: cv2.findEssentialMat is 5-point)."""
+    from scipy.spatial.transform import Rotation
+
+    from instantsfm_tpu.math import fivepoint
+
+    ok = 0
+    trials = 64
+    x1s, x2s, Egs = [], [], []
+    for s in range(trials):
+        r = np.random.default_rng(s)
+        Rm = Rotation.random(random_state=int(r.integers(1 << 30))).as_matrix()
+        t = r.normal(size=3)
+        t /= np.linalg.norm(t)
+        X = r.uniform(-1, 1, (5, 3)) + [0, 0, 4]
+        x1 = X[:, :2] / X[:, 2:]
+        X2 = X @ Rm.T + t
+        x2 = X2[:, :2] / X2[:, 2:]
+        Eg = np.cross(np.eye(3), t) @ Rm
+        x1s.append(x1), x2s.append(x2), Egs.append(Eg / np.linalg.norm(Eg))
+    E, valid = fivepoint.five_point(jnp.asarray(np.stack(x1s)),
+                                    jnp.asarray(np.stack(x2s)))
+    for b in range(trials):
+        Eb, vb, Eg = np.asarray(E[b]), np.asarray(valid[b]), Egs[b]
+        errs = [min(np.linalg.norm(Eb[k] - Eg), np.linalg.norm(Eb[k] + Eg))
+                for k in range(Eb.shape[0]) if vb[k]]
+        if errs and min(errs) < 1e-6:
+            ok += 1
+    assert ok >= 0.9 * trials, f"only {ok}/{trials} exact recoveries"
+
+
+def _planar_scene(rng, n_pts=120, noise_px=0.0):
+    """All points on one plane: the 8-point DLT is degenerate here, the
+    5-point solver is not — parity with cv2.findEssentialMat behavior."""
+    from scipy.spatial.transform import Rotation as Rot
+
+    params = [500.0, 320.0, 240.0, 0.0]
+    uv = rng.uniform(-2, 2, (n_pts, 2))
+    pts = np.stack([uv[:, 0], uv[:, 1], 0.3 * uv[:, 0] + 6.0 * np.ones(n_pts)], 1)
+    R2 = Rot.from_rotvec([0.03, 0.35, 0.01]).as_matrix()
+    c2 = np.array([1.5, 0.1, 0.3])
+    t2 = -R2 @ c2
+
+    def project(Rm, t):
+        xyz = pts @ Rm.T + t
+        return 500.0 * xyz[:, :2] / xyz[:, 2:] + np.array([320, 240])
+
+    xy1 = project(np.eye(3), np.zeros(3)) + noise_px * rng.standard_normal((n_pts, 2))
+    xy2 = project(R2, t2) + noise_px * rng.standard_normal((n_pts, 2))
+    return params, xy1, xy2, R2, t2
+
+
+def test_five_point_ransac_planar(rng):
+    params, xy1, xy2, R_rel, t_rel = _planar_scene(rng, noise_px=0.1)
+    vg, cameras, images = _build_scene(params, xy1, xy2)
+    undistort_images(cameras, images)
+    estimate_relative_pose(vg, cameras, images, chunk_pairs=4,
+                           five_point=True, num_hyps_minimal=64)
+    assert vg.valid[0]
+    R_est = np.asarray(lie.quat_to_matrix(jnp.asarray(vg.qvec[0])))
+    ang = np.rad2deg(np.arccos(np.clip((np.trace(R_est.T @ R_rel) - 1) / 2, -1, 1)))
+    assert ang < 1.0, f"rotation error {ang} deg on planar scene"
+    t_dir = vg.tvec[0] / np.linalg.norm(vg.tvec[0])
+    t_gt = t_rel / np.linalg.norm(t_rel)
+    assert np.dot(t_dir, t_gt) > 0.99, f"translation direction {np.dot(t_dir, t_gt)}"
