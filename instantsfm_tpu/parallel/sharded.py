@@ -21,6 +21,7 @@ CPU mesh.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -104,3 +105,159 @@ def make_sharded_lm_step(mesh: Mesh, problem, kernel: robust.RobustKernel,
         return lm_step(problem, kernel, cfg, state, obs)
 
     return jax.jit(step)
+
+
+# --------------------------------------------------- point-local fast path
+#
+# GSPMD v1 above replicates the point blocks; every point segment-sum turns
+# into a cross-device scatter.  The fast path partitions POINTS into
+# contiguous per-device ranges balanced by observation count (observations
+# are sorted by point, so each point's rows land wholly on one device):
+# landmark (Schur) elimination is then fully shard-local and only the small
+# camera system crosses the mesh (psum over ICI) — the TPU analog of the
+# reference's "reduce the camera system" GPU batching (SURVEY.md §2, §5).
+
+
+class PointPartition(NamedTuple):
+    """Host-side metadata to map partitioned results back to global order."""
+    bounds: np.ndarray        # [D+1] point-range boundaries
+    obs_bounds: np.ndarray    # [D+1] observation-range boundaries
+    T_pad: int                # per-device point capacity
+    O_pad: int                # per-device observation capacity
+    num_points: int
+    num_obs: int
+
+
+def partition_points(params: Params, obs: Observations, n_dev: int):
+    """Split (params, obs) into ``n_dev`` point-contiguous shards.
+
+    Returns (params_part, obs_part, meta) with flat arrays shaped
+    [D*T_pad, ...] / [D*O_pad, ...] ready for ``shard_problem_pointlocal``.
+    ``obs.pt_idx`` becomes SHARD-LOCAL indices.  Requires obs sorted by
+    point (the pipeline's CSR track invariant)."""
+    pt_idx = np.asarray(obs.pt_idx)
+    O = pt_idx.shape[0]
+    T = params.pts.shape[0]
+    counts = np.bincount(pt_idx, minlength=T)
+    cum = np.cumsum(counts)
+
+    targets = (np.arange(1, n_dev) * O) / n_dev
+    pb = np.searchsorted(cum, targets).astype(np.int64) + 1
+    for i in range(1, len(pb)):
+        pb[i] = max(pb[i], pb[i - 1] + 1)
+    pb = np.clip(pb, 1, T)
+    bounds = np.concatenate([[0], pb, [T]])
+    for i in range(1, len(bounds)):          # degenerate tiny scenes
+        bounds[i] = max(bounds[i], bounds[i - 1])
+
+    obs_bounds = np.concatenate([[0], cum])[bounds]
+    T_pad = max(1, int(np.max(np.diff(bounds))))
+    O_pad = max(1, int(np.max(np.diff(obs_bounds))))
+
+    def pad_obs(a, fill=0):
+        out = np.full((n_dev, O_pad) + a.shape[1:], fill, a.dtype)
+        for d in range(n_dev):
+            s, e = obs_bounds[d], obs_bounds[d + 1]
+            out[d, :e - s] = a[s:e]
+        return out.reshape((n_dev * O_pad,) + a.shape[1:])
+
+    local_pt = np.full((n_dev, O_pad), T_pad - 1, pt_idx.dtype)
+    pts_part = np.zeros((n_dev, T_pad, 3), np.asarray(params.pts).dtype)
+    for d in range(n_dev):
+        b, e = bounds[d], bounds[d + 1]
+        s, t = obs_bounds[d], obs_bounds[d + 1]
+        local_pt[d, :t - s] = pt_idx[s:t] - b
+        pts_part[d, :e - b] = np.asarray(params.pts)[b:e]
+
+    tree = jax.tree_util.tree_map
+    obs_part = Observations(
+        cam_idx=jnp.asarray(pad_obs(np.asarray(obs.cam_idx))),
+        pt_idx=jnp.asarray(local_pt.reshape(-1)),
+        data=tree(lambda a: jnp.asarray(pad_obs(np.asarray(a))), obs.data),
+        valid=jnp.asarray(pad_obs(np.asarray(obs.valid), fill=False)))
+    params_part = Params(
+        cam=params.cam,
+        pts=jnp.asarray(pts_part.reshape(n_dev * T_pad, 3)),
+        scales=jnp.asarray(pad_obs(np.asarray(params.scales))),
+        scales_free=jnp.asarray(pad_obs(np.asarray(params.scales_free),
+                                        fill=False)))
+    meta = PointPartition(bounds=bounds, obs_bounds=obs_bounds, T_pad=T_pad,
+                          O_pad=O_pad, num_points=T, num_obs=O)
+    return params_part, obs_part, meta
+
+
+def unpartition_points(pts_flat, meta: PointPartition) -> np.ndarray:
+    """[D*T_pad, 3] shard layout -> [T, 3] global points."""
+    D = len(meta.bounds) - 1
+    a = np.asarray(pts_flat).reshape(D, meta.T_pad, 3)
+    out = np.zeros((meta.num_points, 3), a.dtype)
+    for d in range(D):
+        b, e = meta.bounds[d], meta.bounds[d + 1]
+        out[b:e] = a[d, :e - b]
+    return out
+
+
+def unpartition_scales(scales_flat, meta: PointPartition) -> np.ndarray:
+    """[D*O_pad, 1] shard layout -> [O, 1] global per-observation scales."""
+    D = len(meta.bounds) - 1
+    a = np.asarray(scales_flat).reshape(D, meta.O_pad, -1)
+    out = np.zeros((meta.num_obs, a.shape[-1]), a.dtype)
+    for d in range(D):
+        s, e = meta.obs_bounds[d], meta.obs_bounds[d + 1]
+        out[s:e] = a[d, :e - s]
+    return out
+
+
+def _specs(template_state: LMState, template_obs: Observations, axis: str):
+    tree = jax.tree_util.tree_map
+    state_spec = LMState(
+        params=Params(cam=tree(lambda _: P(), template_state.params.cam),
+                      pts=P(axis), scales=P(axis), scales_free=P(axis)),
+        lam=P(), cost=P())
+    obs_spec = Observations(cam_idx=P(axis), pt_idx=P(axis),
+                            data=tree(lambda _: P(axis), template_obs.data),
+                            valid=P(axis))
+    return state_spec, obs_spec
+
+
+def shard_problem_pointlocal(mesh: Mesh, params: Params, obs: Observations,
+                             axis: str = "obs"):
+    """Device placement for the output of ``partition_points``."""
+    sharded = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    tree = jax.tree_util.tree_map
+    obs = Observations(
+        cam_idx=jax.device_put(obs.cam_idx, sharded),
+        pt_idx=jax.device_put(obs.pt_idx, sharded),
+        data=tree(lambda a: jax.device_put(a, sharded), obs.data),
+        valid=jax.device_put(obs.valid, sharded))
+    params = Params(
+        cam=tree(lambda a: jax.device_put(a, replicated), params.cam),
+        pts=jax.device_put(params.pts, sharded),
+        scales=jax.device_put(params.scales, sharded),
+        scales_free=jax.device_put(params.scales_free, sharded))
+    return params, obs
+
+
+def make_pointlocal_lm_step(mesh: Mesh, problem, kernel: robust.RobustKernel,
+                            cfg: LMConfig, template_state: LMState,
+                            template_obs: Observations, axis: str = "obs"):
+    """shard_map LM step with shard-local landmark elimination.
+
+    Point blocks (V, g_pt, back-substitution) never cross devices; camera
+    reductions and the cost are psum'd inside ``block_lm`` (axis_name)."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, solver="pcg")
+    state_spec, obs_spec = _specs(template_state, template_obs, axis)
+
+    def step(state: LMState, obs: Observations) -> LMState:
+        return lm_step(problem, kernel, cfg, state, obs, axis_name=axis)
+
+    try:
+        fn = jax.shard_map(step, mesh=mesh, in_specs=(state_spec, obs_spec),
+                           out_specs=state_spec, check_vma=False)
+    except TypeError:    # older jax spelling
+        from jax.experimental.shard_map import shard_map as _sm
+        fn = _sm(step, mesh=mesh, in_specs=(state_spec, obs_spec),
+                 out_specs=state_spec, check_rep=False)
+    return jax.jit(fn)

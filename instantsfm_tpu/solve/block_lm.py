@@ -98,6 +98,12 @@ def _num_cams(params: Params) -> int:
     return jax.tree_util.tree_leaves(params.cam)[0].shape[0]
 
 
+def _ar(x, axis_name):
+    """All-reduce across the device mesh when running under shard_map
+    (point-local sharding, parallel/sharded.py); identity single-chip."""
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
 def cam_reduce(vals, cam_idx, C: int, chunk: int = 32768):
     """Segment-sum over the (small) camera axis as a one-hot matmul.
 
@@ -151,7 +157,8 @@ def _gather_by_pt(arr, pt_idx, buckets, O):
 
 
 def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
-                 kernel: robust_mod.RobustKernel) -> jnp.ndarray:
+                 kernel: robust_mod.RobustKernel,
+                 axis_name: str = None) -> jnp.ndarray:
     """Robust cost sum_o rho(||r_o||^2) over valid observations."""
     cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
     pt_g = params.pts[obs.pt_idx]
@@ -166,12 +173,13 @@ def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
 
     r = jax.vmap(res)(cam_g, pt_g, sc_g, obs.data)
     s = jnp.sum(r * r, axis=-1)
-    return jnp.sum(jnp.where(obs.valid, kernel.loss(s), 0.0))
+    return _ar(jnp.sum(jnp.where(obs.valid, kernel.loss(s), 0.0)), axis_name)
 
 
 def build_system(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel,
-                 num_points: int, buckets: tuple = ()) -> NormalSystem:
+                 num_points: int, buckets: tuple = (),
+                 axis_name: str = None) -> NormalSystem:
     """Evaluate residuals + per-block Jacobians, apply robust whitening and
     (optionally) eliminate per-observation scalars; reduce into U/V/W/g."""
     PC, R = problem.cam_dim, problem.res_dim
@@ -219,15 +227,18 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     gc_o = -jnp.einsum("ori,or->oi", Jc, r)                # [O, PC]
     gp_o = -jnp.einsum("ori,or->oi", Jp, r)                # [O, 3]
 
-    U = _seg_by_cam(U_o, obs.cam_idx, C)
-    g_cam = _seg_by_cam(gc_o, obs.cam_idx, C)
+    U = _ar(_seg_by_cam(U_o, obs.cam_idx, C), axis_name)
+    g_cam = _ar(_seg_by_cam(gc_o, obs.cam_idx, C), axis_name)
     # observations are sorted by point (CSR track layout) throughout the
     # pipeline; padded tails use the last point index so sortedness holds.
+    # Under shard_map the point axis is shard-local (points partitioned with
+    # their observations) — V/g_pt need no collective.
     V = _seg_by_pt(V_o, obs.pt_idx, num_points, buckets)
     g_pt = _seg_by_pt(gp_o, obs.pt_idx, num_points, buckets)
 
     return NormalSystem(U=U, V=V, W=W, g_cam=g_cam, g_pt=g_pt,
-                        Hss=Hss, Jc_s=Jc_s, Jp_s=Jp_s, g_s=g_s, cost=cost)
+                        Hss=Hss, Jc_s=Jc_s, Jp_s=Jp_s, g_s=g_s,
+                        cost=_ar(cost, axis_name))
 
 
 def _damped(M, lam, eps):
@@ -280,7 +291,7 @@ def _tri3_solve(L, B):
 def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                  lam, pcg_iters: int = 100, pcg_tol: float = 1e-5,
                  eps: float = 1e-8, dense_schur: Optional[bool] = None,
-                 buckets: tuple = ()):
+                 buckets: tuple = (), axis_name: str = None):
     """Solve (H + lam diag(H)) dx = g via scalar elimination -> point (Schur)
     elimination -> reduced camera system.  The reduced system is solved either
     exactly by dense Cholesky (``dense_schur``, the MXU-friendly fast path for
@@ -307,10 +318,10 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         W_corr = jnp.einsum("oi,oj,o->oij", sys.Jc_s, sys.Jp_s, inv_hss)
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
-        U = U - _seg_by_cam(U_corr, obs.cam_idx, C)
+        U = U - _ar(_seg_by_cam(U_corr, obs.cam_idx, C), axis_name)
         V = V - _seg_by_pt(V_corr, obs.pt_idx, T, buckets)
         W = W - W_corr
-        g_cam = g_cam - _seg_by_cam(gc_corr, obs.cam_idx, C)
+        g_cam = g_cam - _ar(_seg_by_cam(gc_corr, obs.cam_idx, C), axis_name)
         g_pt = g_pt - _seg_by_pt(gp_corr, obs.pt_idx, T, buckets)
 
     U_d = _damped(U, lam, eps)
@@ -327,11 +338,11 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
 
     O = W.shape[0]
     # rhs: g_cam - W V^-1 g_pt
-    rhs = g_cam - _seg_by_cam(
+    rhs = g_cam - _ar(_seg_by_cam(
         jnp.einsum("oij,oj->oi", W,
                    _gather_by_pt(jnp.einsum("pij,pj->pi", V_inv, g_pt),
                                  pt_idx, buckets, O)),
-        cam_idx, C)
+        cam_idx, C), axis_name)
 
     if dense_schur:
         # ---- exact reduced solve: S = blockdiag(U_d) - Yᵀ Y with
@@ -345,7 +356,7 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         cols = (cam_idx[:, None] * PC + jnp.arange(PC)[None, :])          # [O,PC]
         Y = jnp.zeros((3 * T, n), W.dtype)
         Y = Y.at[rows[:, :, None], cols[:, None, :]].add(P)
-        S = -jnp.dot(Y.T, Y, preferred_element_type=Y.dtype)
+        S = -_ar(jnp.dot(Y.T, Y, preferred_element_type=Y.dtype), axis_name)
         ii = jnp.arange(C)[:, None, None] * PC
         blk_r = ii + jnp.arange(PC)[None, :, None]
         blk_c = ii + jnp.arange(PC)[None, None, :]
@@ -356,20 +367,20 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         d_cam = cho_solve(cf, rhs.reshape(n)).reshape(C, PC)
         iters = jnp.asarray(0, jnp.int32)
     else:
-        def schur_matvec(x):  # x: [C, PC]
+        def schur_matvec(x):  # x: [C, PC] replicated
             y = jnp.einsum("cij,cj->ci", U_d, x)
             t = jnp.einsum("oij,oi->oj", W, x[cam_idx])           # [O, 3]
             s_p = _seg_by_pt(t, pt_idx, T, buckets)
             z = jnp.einsum("pij,pj->pi", V_inv, s_p)
             u = jnp.einsum("oij,oj->oi", W,
                            _gather_by_pt(z, pt_idx, buckets, O))  # [O, PC]
-            y2 = _seg_by_cam(u, cam_idx, C)
+            y2 = _ar(_seg_by_cam(u, cam_idx, C), axis_name)
             return y - y2
 
         # block-Jacobi preconditioner on the Schur diagonal
         D_corr = jnp.einsum("oij,ojk,olk->oil", W,
                             _gather_by_pt(V_inv, pt_idx, buckets, O), W)
-        D = U_d - _seg_by_cam(D_corr, cam_idx, C)
+        D = U_d - _ar(_seg_by_cam(D_corr, cam_idx, C), axis_name)
         D = D + eps * jnp.eye(PC, dtype=D.dtype)
         D_inv = jnp.linalg.inv(D)
 
@@ -429,7 +440,7 @@ def _apply_step(problem, params: Params, d_cam, d_pt, d_s) -> Params:
 
 def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
             cfg: LMConfig, state: LMState, obs: Observations,
-            buckets: tuple = ()) -> LMState:
+            buckets: tuple = (), axis_name: str = None) -> LMState:
     """One LM iteration: build system once, retry the damped solve with
     increasing damping until the cost decreases (or budget exhausted).
     Mirrors the reference's TrustRegion(up=2.0, down=0.5**4) + reject=30
@@ -437,16 +448,16 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     params = state.params
     T = params.pts.shape[0]
     sys = build_system(problem, params, obs, kernel, num_points=T,
-                       buckets=buckets)
+                       buckets=buckets, axis_name=axis_name)
 
     dense = None if cfg.solver == "auto" else (cfg.solver == "dense")
 
     def try_lam(lam):
         d_cam, d_pt, d_s, _ = solve_damped(
             problem, sys, obs, lam, cfg.pcg_iters, cfg.pcg_tol,
-            dense_schur=dense, buckets=buckets)
+            dense_schur=dense, buckets=buckets, axis_name=axis_name)
         cand = _apply_step(problem, params, d_cam, d_pt, d_s)
-        new_cost = compute_cost(problem, cand, obs, kernel)
+        new_cost = compute_cost(problem, cand, obs, kernel, axis_name=axis_name)
         return cand, new_cost
 
     # the solve appears exactly ONCE in the graph (inside the loop body);

@@ -46,3 +46,90 @@ def test_sharded_ba_matches_single_device():
                                np.asarray(s_ref.params.pts), atol=1e-6)
     np.testing.assert_allclose(np.asarray(state_sh.params.cam["q"]),
                                np.asarray(s_ref.params.cam["q"]), atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pointlocal_sharded_ba_matches_single_device():
+    """Shard-local landmark elimination (points partitioned with their
+    observations) matches the replicated-point reference path."""
+    from instantsfm_tpu.parallel.sharded import (make_pointlocal_lm_step,
+                                                 partition_points,
+                                                 shard_problem_pointlocal,
+                                                 unpartition_points)
+
+    scene = make_scene(num_cams=10, num_pts=120)
+    problem, params, obs = _ba_setup(scene)
+    kernel = robust.huber(1.0)
+    cfg = LMConfig(max_iterations=5, pcg_iters=50, solver="pcg")
+
+    # single-device reference: 3 steps
+    state0 = LMState(params, jnp.asarray(1.0 / cfg.radius_init), jnp.asarray(jnp.inf))
+    step1 = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o))
+    s_ref = state0
+    for _ in range(3):
+        s_ref = step1(s_ref, obs)
+
+    mesh = make_mesh(jax.devices()[:8])
+    params_p, obs_p, meta = partition_points(params, obs, 8)
+    params_p, obs_p = shard_problem_pointlocal(mesh, params_p, obs_p)
+    state_p = LMState(params_p, jnp.asarray(1.0 / cfg.radius_init),
+                      jnp.asarray(jnp.inf))
+    step8 = make_pointlocal_lm_step(mesh, problem, kernel, cfg, state_p, obs_p)
+    for _ in range(3):
+        state_p = step8(state_p, obs_p)
+
+    np.testing.assert_allclose(float(state_p.cost), float(s_ref.cost), rtol=1e-6)
+    pts_back = unpartition_points(state_p.params.pts, meta)
+    np.testing.assert_allclose(pts_back, np.asarray(s_ref.params.pts), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_p.params.cam["q"]),
+                               np.asarray(s_ref.params.cam["q"]), atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pointlocal_sharded_gp_matches_single_device():
+    """Point-local sharding with per-observation scale elimination (GP)."""
+    from instantsfm_tpu.math import lie
+    from instantsfm_tpu.parallel.sharded import (make_pointlocal_lm_step,
+                                                 partition_points,
+                                                 shard_problem_pointlocal)
+    from instantsfm_tpu.solve.problems import make_gp_problem
+
+    scene = make_scene(num_cams=10, num_pts=120)
+    rng = np.random.default_rng(5)
+    C, T = len(scene.qvec), len(scene.points)
+    centers = np.asarray(lie.camera_center(jnp.asarray(scene.qvec),
+                                           jnp.asarray(scene.tvec)))
+    d = scene.points[scene.obs_pt] - centers[scene.obs_cam]
+    t_obs = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    O = len(t_obs)
+
+    problem = make_gp_problem()
+    params = Params(
+        cam={"c": jnp.asarray(centers + rng.standard_normal((C, 3)) * 0.5)},
+        pts=jnp.asarray(scene.points + rng.standard_normal((T, 3)) * 0.5),
+        scales=jnp.ones((O, 1)), scales_free=jnp.ones(O, bool))
+    obs = Observations(jnp.asarray(scene.obs_cam), jnp.asarray(scene.obs_pt),
+                       {"t": jnp.asarray(t_obs), "w": jnp.ones(O)},
+                       jnp.ones(O, bool))
+    kernel = robust.huber(0.1)
+    cfg = LMConfig(max_iterations=5, pcg_iters=60, solver="pcg",
+                   radius_init=1e3)
+
+    state0 = LMState(params, jnp.asarray(1.0 / cfg.radius_init), jnp.asarray(jnp.inf))
+    step1 = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o))
+    s_ref = state0
+    for _ in range(3):
+        s_ref = step1(s_ref, obs)
+
+    mesh = make_mesh(jax.devices()[:8])
+    params_p, obs_p, meta = partition_points(params, obs, 8)
+    params_p, obs_p = shard_problem_pointlocal(mesh, params_p, obs_p)
+    state_p = LMState(params_p, jnp.asarray(1.0 / cfg.radius_init),
+                      jnp.asarray(jnp.inf))
+    step8 = make_pointlocal_lm_step(mesh, problem, kernel, cfg, state_p, obs_p)
+    for _ in range(3):
+        state_p = step8(state_p, obs_p)
+
+    np.testing.assert_allclose(float(state_p.cost), float(s_ref.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_p.params.cam["c"]),
+                               np.asarray(s_ref.params.cam["c"]), atol=1e-7)
