@@ -26,6 +26,10 @@ def main(argv=None):
                         choices=[None, "interp", "ellipse", "spiral"])
     parser.add_argument("--ckpt", default=None, help="eval-only from ckpt")
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--distributed", action="store_true",
+                        help="gaussian-sharded rendering over all devices "
+                             "(gsplat distributed / DDP analog)")
     args = parser.parse_args(argv)
 
     import jax
@@ -43,6 +47,7 @@ def main(argv=None):
         use_bilateral_grid=args.use_bilateral_grid,
         opacity_reg=0.01 if args.preset == "mcmc" else 0.0,
         scale_reg=0.01 if args.preset == "mcmc" else 0.0,
+        batch_size=args.batch_size, distributed=args.distributed,
         eval_steps=(7000, args.max_steps), save_steps=(7000, args.max_steps))
     runner = Runner(cfg)
 

@@ -39,6 +39,41 @@ class RasterOut(NamedTuple):
     valid: jnp.ndarray    # [G]
 
 
+class Projected2D(NamedTuple):
+    """Per-view screen-space gaussians — the exchange unit of the distributed
+    renderer (gs/distributed.py all-to-alls these fields between the
+    projection and compositing phases, gsplat ``distributed=True`` analog)."""
+    means2d: jnp.ndarray   # [G, 2]
+    conics: jnp.ndarray    # [G, 3]
+    depths: jnp.ndarray    # [G]
+    radii: jnp.ndarray     # [G]
+    valid: jnp.ndarray     # [G] bool
+    colors: jnp.ndarray    # [G, 3] SH-evaluated view-dependent color
+    opac: jnp.ndarray      # [G]
+
+
+def project_view(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
+                 width: int, height: int, sh_degree: int = 3,
+                 eps2d: float = 0.3, means2d_offset=None) -> Projected2D:
+    """Phase 1: EWA projection + SH color for one view (owner-side in the
+    distributed renderer)."""
+    proj = projection.project(means, quats, scales, viewmat, Kmat,
+                              width, height, eps2d=eps2d)
+    means2d = proj.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
+    dirs = means - cam_pos
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-8)
+    colors = jnp.maximum(
+        sh_mod.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5, 0.0)  # [G,3]
+    return Projected2D(means2d=means2d, conics=proj.conics, depths=proj.depths,
+                       radii=proj.radii, valid=proj.valid, colors=colors,
+                       opac=opacities)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree",
                                    "tiles_per_gauss", "tile_capacity",
                                    "use_pallas"))
@@ -54,20 +89,22 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     ``means2d_offset`` ([G,2], zeros) is a probe whose gradient equals the
     screen-space positional gradient used by densification strategies.
     """
-    G = means.shape[0]
-    proj = projection.project(means, quats, scales, viewmat, Kmat,
-                              width, height, eps2d=eps2d)
-    means2d = proj.means2d
-    if means2d_offset is not None:
-        means2d = means2d + means2d_offset
+    p = project_view(means, quats, scales, opacities, sh_coeffs, viewmat,
+                     Kmat, width, height, sh_degree, eps2d, means2d_offset)
+    return rasterize_projected(p, width, height,
+                               tiles_per_gauss=tiles_per_gauss,
+                               tile_capacity=tile_capacity,
+                               background=background, use_pallas=use_pallas)
 
-    # ---- per-gaussian color from SH in view direction
-    cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
-    dirs = means - cam_pos
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                              1e-8)
-    colors = jnp.maximum(
-        sh_mod.eval_sh(sh_degree, sh_coeffs, dirs) + 0.5, 0.0)  # [G,3]
+
+def rasterize_projected(p: Projected2D, width: int, height: int,
+                        tiles_per_gauss: int = 16, tile_capacity: int = 512,
+                        background=None, use_pallas: bool = False):
+    """Phase 2: tile expansion + (tile, depth) sort + alpha compositing of
+    already-projected gaussians."""
+    means2d, proj, colors, opacities = p.means2d, p, p.colors, p.opac
+    G = means2d.shape[0]
+    dtype_means = means2d.dtype
 
     # ---- tile expansion (fixed budget per gaussian)
     ntx = (width + TILE - 1) // TILE
@@ -125,7 +162,7 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     tile_x0 = (tids % ntx) * TILE
     tile_y0 = (tids // ntx) * TILE
     py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    dt = means.dtype
+    dt = dtype_means
     pix_x = (tile_x0[:, None] + px.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
     pix_y = (tile_y0[:, None] + py.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
 
@@ -145,9 +182,9 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
         interpret = jax.default_backend() == "cpu"
         rgb, alpha_p, dep_p = pallas_raster.composite_tiles(
             origin, attrs, interpret=interpret)
-        rgb = rgb.astype(means.dtype)
-        T = (1.0 - alpha_p).astype(means.dtype)
-        dep = dep_p.astype(means.dtype)
+        rgb = rgb.astype(dtype_means)
+        T = (1.0 - alpha_p).astype(dtype_means)
+        dep = dep_p.astype(dtype_means)
         if background is not None:
             rgb = rgb + T[..., None] * background[None, None, :]
 
@@ -196,9 +233,9 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
         T = T * jnp.prod(one_m, axis=1)
         return (T, rgb, dep), None
 
-    T0 = jnp.ones((n_tiles, P), means.dtype)
-    rgb0 = jnp.zeros((n_tiles, P, 3), means.dtype)
-    dep0 = jnp.zeros((n_tiles, P), means.dtype)
+    T0 = jnp.ones((n_tiles, P), dtype_means)
+    rgb0 = jnp.zeros((n_tiles, P, 3), dtype_means)
+    dep0 = jnp.zeros((n_tiles, P), dtype_means)
     scan_inputs = (chunked(g_mean), chunked(g_conic), chunked(g_color),
                    chunked(g_opac), chunked(g_depth))
     (T, rgb, dep), _ = jax.lax.scan(

@@ -65,6 +65,8 @@ class GSConfig:
     tiles_per_gauss: int = 16
     random_bkgd: bool = False
     lpips_net: str = "alex"            # parity field; LPIPS gated off on TPU
+    distributed: bool = False          # gaussian-sharded multi-chip rendering
+                                       # (gsplat distributed=True analog, B7/B9)
 
 
 class Runner:
@@ -124,6 +126,41 @@ class Runner:
 
         self.key = jax.random.PRNGKey(42)
         self.stats = {}
+
+        # ---- gaussian-sharded distributed rendering (all-to-all exchange)
+        self.mesh = None
+        self._dist_step = None
+        if cfg.distributed:
+            D = len(jax.devices())
+            unsupported = (cfg.pose_opt or cfg.app_opt
+                           or cfg.use_bilateral_grid or cfg.depth_loss
+                           or cfg.random_bkgd)
+            uniform = (len(set(map(int, self.parser.widths))) == 1
+                       and len(set(map(int, self.parser.heights))) == 1)
+            if D > 1 and cfg.batch_size % D == 0 and not unsupported \
+                    and uniform:
+                from instantsfm_tpu.gs import distributed as dist_mod
+                self.mesh = dist_mod.make_mesh()
+                self.splats = dist_mod.shard_splats(
+                    self.mesh, dist_mod.pad_splats(self.splats, D))
+                self.opt_state = self.tx.init(
+                    splats_mod.float_params(self.splats))
+                self.strategy_state = strat_mod.init_state(
+                    self.splats.means.shape[0])
+                self._dist_step = dist_mod.make_distributed_train_step(
+                    self.mesh, self.tx,
+                    int(self.parser.widths[0]), int(self.parser.heights[0]),
+                    ssim_lambda=cfg.ssim_lambda,
+                    tiles_per_gauss=cfg.tiles_per_gauss,
+                    tile_capacity=cfg.tile_capacity,
+                    opacity_reg=cfg.opacity_reg, scale_reg=cfg.scale_reg)
+                self.log(f"distributed rendering over {D} devices "
+                         f"(pool {self.splats.means.shape[0]}, "
+                         f"batch {cfg.batch_size})")
+            elif cfg.distributed:
+                self.log("distributed=True ignored: needs >1 device, "
+                         "batch_size % D == 0, uniform image sizes, and no "
+                         "pose/app/bilgrid/depth/random_bkgd options")
 
     # ------------------------------------------------------------ rendering
 
@@ -258,10 +295,16 @@ class Runner:
 
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
             self.key, sub = jax.random.split(self.key)
-            (self.splats, self.opt_state, self.aux_params, self.aux_state,
-             loss, l1, s, g_offset, radii, valid) = self._train_step(
-                self.splats, self.opt_state, self.aux_params, self.aux_state,
-                batch, sh_degree, sub)
+            if self._dist_step is not None:
+                (self.splats, self.opt_state, loss, g_offset, radii,
+                 valid) = self._dist_step(self.splats, self.opt_state,
+                                          batch, sh_degree)
+                l1 = s = loss
+            else:
+                (self.splats, self.opt_state, self.aux_params, self.aux_state,
+                 loss, l1, s, g_offset, radii, valid) = self._train_step(
+                    self.splats, self.opt_state, self.aux_params,
+                    self.aux_state, batch, sh_degree, sub)
             losses.append(float(loss))
 
             # ---- densification cadence (DefaultStrategy)

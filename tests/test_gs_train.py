@@ -119,3 +119,25 @@ def test_strategy_refine_grows_and_prunes(rng):
     assert int(n_grow) == 10
     assert int(n_prune) == 10
     assert int(np.asarray(new_splats.alive).sum()) == 50 + 10 - 10
+
+
+@pytest.mark.slow
+def test_gs_training_distributed_runner(tmp_path, rng):
+    """Runner with distributed=True: gaussian-sharded rendering over the
+    8-device mesh, including densification on the sharded pool."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    scene_dir = _make_gs_scene(tmp_path, rng)
+    cfg = GSConfig(data_dir=str(scene_dir),
+                   result_dir=os.path.join(tmp_path, "results_dist"),
+                   max_steps=40, test_every=3, sh_degree=1,
+                   sh_degree_interval=20, tile_capacity=128,
+                   eval_steps=(40,), save_steps=(), capacity_mult=2.0,
+                   batch_size=8, distributed=True)
+    runner = Runner(cfg, log=lambda *a, **k: None)
+    assert runner._dist_step is not None, "distributed path not engaged"
+    losses = runner.train()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, \
+        f"loss did not improve: {losses[:5]} -> {losses[-5:]}"
+    assert runner.stats[40]["psnr"] > 14, runner.stats[40]
