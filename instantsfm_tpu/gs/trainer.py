@@ -355,7 +355,13 @@ class Runner:
 
     def eval(self, step: int):
         cfg = self.cfg
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
+        lpips_w = None
+        try:
+            from instantsfm_tpu.gs import lpips as lpips_mod
+            lpips_w = lpips_mod.try_load_default()
+        except Exception:
+            pass
         for i in range(len(self.valset)):
             b = self.valset[i]
             H, W = b["image"].shape[:2]
@@ -370,9 +376,15 @@ class Runner:
                                              jnp.asarray(b["image"]))))
             ssims.append(float(ssim_mod.ssim(jnp.asarray(rgb),
                                              jnp.asarray(b["image"]))))
+            if lpips_w is not None:
+                lpipss.append(float(lpips_mod.lpips(
+                    jnp.asarray(rgb, jnp.float32),
+                    jnp.asarray(b["image"], jnp.float32), lpips_w)))
         stats = {"psnr": float(np.mean(psnrs)) if psnrs else 0.0,
                  "ssim": float(np.mean(ssims)) if ssims else 0.0,
                  "num_GS": int(np.asarray(self.splats.alive).sum())}
+        if lpipss:
+            stats["lpips"] = float(np.mean(lpipss))
         self.stats[step] = stats
         self.log(f"eval @ {step}: {stats}")
         os.makedirs(os.path.join(cfg.result_dir, "stats"), exist_ok=True)
