@@ -1,18 +1,26 @@
-"""Pallas TPU kernel for 3DGS tile compositing (forward path).
+"""Pallas TPU kernels for 3DGS tile compositing (forward + backward).
 
-The per-tile alpha-compositing loop of ``rasterize.py`` runs entirely in VMEM
-here: one grid program per 16x16 tile, the tile's depth-sorted gaussians in
-sublanes, pixels in lanes, and the front-to-back exclusive transmittance
-computed as a strictly-lower-triangular MATMUL in log space
-(exc = SLT @ log(1-alpha)) so the whole chunk composites on the MXU with no
-sequential per-gaussian loop and no HBM round-trips for the [K, P] alpha
-intermediates the XLA path materializes.
+TPU-native replacement for the inner loops of the gsplat CUDA rasterizer
+(reference B7, ``vis/gsplat_trainer.py:488-509``).  One grid program per 16x16
+tile; the tile's depth-sorted gaussians live in sublanes, pixels in lanes, and
+the front-to-back exclusive transmittance is computed as a strictly-lower-
+triangular MATMUL in log space (exc = SLT @ log(1-alpha)), so a whole
+128-gaussian chunk composites on the MXU with no sequential per-gaussian loop
+and no HBM round-trips for the [K, P] alpha intermediates the XLA path
+materializes.
 
-STATUS: experimental.  Verified against the jnp compositing in interpret mode
-and on-device for single-chunk tile capacities; at 100k-gaussian scale XLA's
-fusion of the jnp path is currently on par (the per-tile gather, not the
-compositing, dominates), so the default render path stays on jnp and this
-kernel is opt-in (``rasterize(..., use_pallas=True)``).
+The backward kernel mirrors gsplat's back-to-front accumulation: pass A
+re-walks chunks front-to-back to record per-chunk log-transmittance, pass B
+walks them back-to-front keeping the per-pixel suffix sum S = sum_{j>k} w_j
+g_j; the in-chunk suffix is again a triangular matmul.  Gradients w.r.t. the
+packed per-(tile,slot) attributes are returned; the caller's gather transpose
+(a scatter-add XLA emits automatically) routes them to the gaussians.
+
+Attribute packing (lane-padded to 16):
+  0 mx, 1 my        screen-space mean (pixels)
+  2 ca, 3 cb, 4 cc  conic (inverse 2D covariance, upper triangle)
+  5 r, 6 g, 7 b     view-dependent color
+  8 opac, 9 depth
 """
 
 from __future__ import annotations
@@ -28,91 +36,210 @@ TILE = 16
 P = TILE * TILE
 CHUNK = 128
 
-# packed per-gaussian attribute rows
 _MX, _MY, _CA, _CB, _CC, _CR, _CG, _CB2, _OP, _DE = range(10)
 ATTR = 16  # padded attribute count
 
+_MIN_ALPHA = 1.0 / 255.0
+_MAX_ALPHA = 0.999
 
-def _kernel(origin_ref, attr_ref, out_ref, *, K):
-    t = pl.program_id(0)
-    ox = origin_ref[t, 0].astype(jnp.float32)
-    oy = origin_ref[t, 1].astype(jnp.float32)
+
+def _alpha_terms(a, px, py):
+    """Shared fwd/bwd per-chunk alpha math. a: [CHUNK, ATTR] attribute rows;
+    px/py: [1, P] pixel centers.  Matches the jnp reference path bit-for-bit:
+    alpha = min(opac * exp(-sigma/2), 0.999), zeroed unless sigma > 0 and
+    alpha > 1/255."""
+    mx = a[:, _MX:_MX + 1]
+    my = a[:, _MY:_MY + 1]
+    dx = mx - px                           # [CHUNK, P]
+    dy = my - py
+    ca = a[:, _CA:_CA + 1]
+    cb = a[:, _CB:_CB + 1]
+    cc = a[:, _CC:_CC + 1]
+    sigma = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    e = jnp.exp(-0.5 * sigma)
+    raw = a[:, _OP:_OP + 1] * e
+    clipped = jnp.minimum(raw, _MAX_ALPHA)
+    live = (sigma > 0) & (clipped > _MIN_ALPHA)
+    alpha = jnp.where(live, clipped, 0.0)
+    return alpha, live & (raw < _MAX_ALPHA), e, sigma, dx, dy
+
+
+def _pixel_coords(t, ntx):
+    ox = ((t % ntx) * TILE).astype(jnp.float32)
+    oy = ((t // ntx) * TILE).astype(jnp.float32)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (lin % TILE).astype(jnp.float32) + ox + 0.5
     py = (lin // TILE).astype(jnp.float32) + oy + 0.5
+    return px, py
 
-    slt = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-           < jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-           ).astype(jnp.float32)
+
+def _slt():
+    """Strictly-lower-triangular [CHUNK, CHUNK] mask: (SLT @ x)[k] =
+    sum_{j<k} x[j] — the in-chunk exclusive front-to-back prefix."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            ).astype(jnp.float32)
+
+
+def _fwd_kernel(attr_ref, out_ref, *, K, ntx):
+    px, py = _pixel_coords(pl.program_id(0), ntx)
+    slt = _slt()
 
     def body(ci, carry):
-        T, rgb, dep = carry                    # [1,P], [3,P], [1,P]
-        a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]   # [CHUNK, ATTR]
-        mx = a[:, _MX:_MX + 1]
-        my = a[:, _MY:_MY + 1]
-        dx = mx - px                           # [CHUNK, P] (sign irrelevant)
-        dy = my - py
-        sigma = (a[:, _CA:_CA + 1] * dx * dx
-                 + 2.0 * a[:, _CB:_CB + 1] * dx * dy
-                 + a[:, _CC:_CC + 1] * dy * dy)
-        alpha = jnp.minimum(a[:, _OP:_OP + 1] * jnp.exp(-0.5 * sigma), 0.999)
-        alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
+        logT, rgb, dep = carry                 # [1,P], [3,P], [1,P]
+        a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
+        alpha, _, _, _, _, _ = _alpha_terms(a, px, py)
         lom = jnp.log1p(-alpha)                # [CHUNK, P]
         exc = jnp.dot(slt, lom, preferred_element_type=jnp.float32)
-        w = T * jnp.exp(exc) * alpha           # [CHUNK, P]
+        w = jnp.exp(logT + exc) * alpha        # [CHUNK, P]
         col = a[:, _CR:_CR + 3]                # [CHUNK, 3]
         rgb = rgb + jax.lax.dot_general(
             col, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [3, P]
+            preferred_element_type=jnp.float32)            # [3, P]
         dep = dep + jax.lax.dot_general(
             a[:, _DE:_DE + 1], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [1, P]
-        T = T * jnp.exp(exc[-1:, :] + lom[-1:, :])
-        return T, rgb, dep
+            preferred_element_type=jnp.float32)            # [1, P]
+        logT = logT + jnp.sum(lom, axis=0, keepdims=True)
+        return logT, rgb, dep
 
-    T0 = jnp.ones((1, P), jnp.float32)
-    T, rgb, dep = jax.lax.fori_loop(
+    logT, rgb, dep = jax.lax.fori_loop(
         0, K // CHUNK, body,
-        (T0, jnp.zeros((3, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
+        (jnp.zeros((1, P), jnp.float32), jnp.zeros((3, P), jnp.float32),
+         jnp.zeros((1, P), jnp.float32)))
     out_ref[0, 0:3, :] = rgb
-    out_ref[0, 3:4, :] = 1.0 - T
+    out_ref[0, 3:4, :] = 1.0 - jnp.exp(logT)
     out_ref[0, 4:5, :] = dep
     out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def pack_attrs(g_mean, g_conic, g_color, g_opac, g_depth):
-    """[n_tiles, K, *] gathered data -> packed [n_tiles, K, ATTR] f32."""
-    n_tiles, K = g_opac.shape
+def _bwd_kernel(attr_ref, gout_ref, gattr_ref, logt_ref, *, K, ntx):
+    """gout rows: 0..2 d/drgb, 3 d/dalpha, 4 d/ddepth."""
+    px, py = _pixel_coords(pl.program_id(0), ntx)
+    slt = _slt()
+    n_chunks = K // CHUNK
+
+    # ---- pass A (front-to-back): per-chunk entry log-transmittance
+    def pass_a(ci, logT):
+        logt_ref[ci, :] = logT[0]
+        a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
+        alpha, _, _, _, _, _ = _alpha_terms(a, px, py)
+        return logT + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, pass_a, jnp.zeros((1, P), jnp.float32))
+
+    g_rgb = gout_ref[0, 0:3, :]                # [3, P]
+    g_alp = gout_ref[0, 3:4, :]                # [1, P]
+    g_dep = gout_ref[0, 4:5, :]                # [1, P]
+
+    # ---- pass B (back-to-front): suffix sum S = sum_{j>k} w_j g_j
+    def pass_b(i, S):
+        ci = n_chunks - 1 - i
+        a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
+        alpha, grad_live, e, sigma, dx, dy = _alpha_terms(a, px, py)
+        lom = jnp.log1p(-alpha)
+        exc = jnp.dot(slt, lom, preferred_element_type=jnp.float32)
+        T = jnp.exp(logt_ref[ci, :][None, :] + exc)       # [CHUNK, P]
+        w = T * alpha
+
+        col = a[:, _CR:_CR + 3]
+        g_w = (jnp.dot(col, g_rgb, preferred_element_type=jnp.float32)
+               + g_alp + a[:, _DE:_DE + 1] * g_dep)       # [CHUNK, P]
+        wg = w * g_w
+        # suffix within chunk (strictly upper = SLT^T) + cross-chunk S
+        suf = jax.lax.dot_general(
+            slt, wg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + S       # [CHUNK, P]
+        g_a = T * g_w - suf / jnp.maximum(1.0 - alpha, 1e-3)
+        g_a = jnp.where(grad_live, g_a, 0.0)              # [CHUNK, P]
+
+        opac = a[:, _OP:_OP + 1]
+        g_o = jnp.sum(g_a * e, axis=1, keepdims=True)     # [CHUNK, 1]
+        g_s = g_a * (-0.5 * opac * e)                     # d/d sigma
+        g_ca = jnp.sum(g_s * dx * dx, axis=1, keepdims=True)
+        g_cb = jnp.sum(2.0 * g_s * dx * dy, axis=1, keepdims=True)
+        g_cc = jnp.sum(g_s * dy * dy, axis=1, keepdims=True)
+        ca = a[:, _CA:_CA + 1]
+        cb = a[:, _CB:_CB + 1]
+        cc = a[:, _CC:_CC + 1]
+        g_mx = jnp.sum(2.0 * g_s * (ca * dx + cb * dy), axis=1, keepdims=True)
+        g_my = jnp.sum(2.0 * g_s * (cb * dx + cc * dy), axis=1, keepdims=True)
+        g_col = jax.lax.dot_general(
+            w, g_rgb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [CHUNK, 3]
+        g_de = jax.lax.dot_general(
+            w, g_dep, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [CHUNK, 1]
+
+        zeros = jnp.zeros((CHUNK, ATTR - 10), jnp.float32)
+        gattr_ref[0, pl.ds(ci * CHUNK, CHUNK), :] = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_col, g_o, g_de, zeros], axis=-1)
+        return S + jnp.sum(wg, axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, pass_b, jnp.zeros((1, P), jnp.float32))
+
+
+def pack_attrs(means2d, conics, colors, opac, depths):
+    """Per-gaussian [G,*] components -> packed [G+1, ATTR] table; row G is the
+    all-zeros sentinel for empty tile slots (opacity 0 => no contribution,
+    no gradient)."""
+    G = opac.shape[0]
     f32 = lambda a: a.astype(jnp.float32)
-    return jnp.concatenate([
-        f32(g_mean), f32(g_conic), f32(g_color), f32(g_opac)[..., None],
-        f32(g_depth)[..., None],
-        jnp.zeros((n_tiles, K, ATTR - 10), jnp.float32)], axis=-1)
+    table = jnp.concatenate([
+        f32(means2d), f32(conics), f32(colors), f32(opac)[:, None],
+        f32(depths)[:, None], jnp.zeros((G, ATTR - 10), jnp.float32)], axis=-1)
+    return jnp.concatenate([table, jnp.zeros((1, ATTR), jnp.float32)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def composite_tiles(tile_origin, attrs, interpret: bool = False):
-    """tile_origin [n_tiles, 2] int32; attrs [n_tiles, K, ATTR] from
-    ``pack_attrs`` (invalid entries must carry opacity 0, K % 128 == 0).
-    Returns (rgb [n_tiles, P, 3], alpha [n_tiles, P], depth [n_tiles, P])."""
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def composite_tiles(attrs, ntx: int, interpret: bool = False):
+    """attrs [n_tiles, K, ATTR] f32 (tile-gathered, depth-sorted rows; empty
+    slots all-zero, K % 128 == 0).  Tile t covers pixels
+    [(t%ntx)*16, (t//ntx)*16) + [16,16).
+    Returns (rgb [n_tiles, 3, P], alpha [n_tiles, P], depth [n_tiles, P])."""
+    out = _composite_fwd_raw(attrs, ntx, interpret)
+    return out[:, 0:3, :], out[:, 3, :], out[:, 4, :]
+
+
+def _composite_fwd_raw(attrs, ntx, interpret):
     n_tiles, K, _ = attrs.shape
     assert K % CHUNK == 0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,      # tile origins live in SMEM, fully indexed
+    return pl.pallas_call(
+        partial(_fwd_kernel, K=K, ntx=ntx),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+        in_specs=[pl.BlockSpec((1, K, ATTR), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, P), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        partial(_kernel, K=K),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
         interpret=interpret,
-    )(tile_origin.astype(jnp.int32), attrs)
-    rgb = jnp.moveaxis(out[:, 0:3, :], 1, 2)      # [n_tiles, P, 3]
-    return rgb, out[:, 3, :], out[:, 4, :]
+    )(attrs)
+
+
+def _composite_vjp_fwd(attrs, ntx, interpret):
+    out = _composite_fwd_raw(attrs, ntx, interpret)
+    return (out[:, 0:3, :], out[:, 3, :], out[:, 4, :]), attrs
+
+
+def _composite_vjp_bwd(ntx, interpret, attrs, cts):
+    g_rgb, g_alpha, g_depth = cts
+    n_tiles, K, _ = attrs.shape
+    gout = jnp.concatenate([
+        g_rgb, g_alpha[:, None, :], g_depth[:, None, :],
+        jnp.zeros((n_tiles, 3, P), jnp.float32)], axis=1)
+    g_attrs = pl.pallas_call(
+        partial(_bwd_kernel, K=K, ntx=ntx),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, K, ATTR), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, P), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, K, ATTR), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, ATTR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K // CHUNK, P), jnp.float32)],
+        interpret=interpret,
+    )(attrs.astype(jnp.float32), gout.astype(jnp.float32))
+    return (g_attrs,)
+
+
+composite_tiles.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)

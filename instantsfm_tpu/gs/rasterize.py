@@ -81,7 +81,7 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
               width: int, height: int, sh_degree: int = 3,
               tiles_per_gauss: int = 16, tile_capacity: int = 512,
               background=None, means2d_offset=None, eps2d: float = 0.3,
-              use_pallas: bool = False):
+              use_pallas=None):
     """Full differentiable forward render.
 
     means [G,3], quats [G,4] xyzw, scales [G,3] (linear), opacities [G]
@@ -99,9 +99,11 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
 
 def rasterize_projected(p: Projected2D, width: int, height: int,
                         tiles_per_gauss: int = 16, tile_capacity: int = 512,
-                        background=None, use_pallas: bool = False):
+                        background=None, use_pallas=None):
     """Phase 2: tile expansion + (tile, depth) sort + alpha compositing of
     already-projected gaussians."""
+    if use_pallas is None:  # default: Pallas kernels on TPU, jnp elsewhere
+        use_pallas = jax.default_backend() == "tpu"
     means2d, proj, colors, opacities = p.means2d, p, p.colors, p.opac
     G = means2d.shape[0]
     dtype_means = means2d.dtype
@@ -144,45 +146,36 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles + 1))
     counts = starts[1:] - starts[:-1]
 
-    # per-tile fixed-capacity gather of sorted gaussian ids
+    # per-tile fixed-capacity gather of sorted gaussian ids; empty slots point
+    # at the all-zero sentinel row G of the packed table (opacity 0 => inert,
+    # gradient-free)
     k_idx = starts[:-1, None] + jnp.arange(tile_capacity)[None, :]
     k_ok = jnp.arange(tile_capacity)[None, :] < counts[:, None]
     k_idx = jnp.minimum(k_idx, len(sorted_gauss) - 1)
-    tile_gauss = sorted_gauss[k_idx]                  # [n_tiles, K]
+    tile_gauss = jnp.where(k_ok, sorted_gauss[k_idx], G)  # [n_tiles, K]
 
-    # gather per-gaussian render data once per (tile, k)
-    g_mean = means2d[tile_gauss]                      # [n_tiles, K, 2]
-    g_conic = proj.conics[tile_gauss]
-    g_color = colors[tile_gauss]
-    g_opac = opacities[tile_gauss] * k_ok
-    g_depth = proj.depths[tile_gauss]
-
-    # ---- pixel coordinates per tile
-    tids = jnp.arange(n_tiles)
-    tile_x0 = (tids % ntx) * TILE
-    tile_y0 = (tids // ntx) * TILE
-    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    dt = dtype_means
-    pix_x = (tile_x0[:, None] + px.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
-    pix_y = (tile_y0[:, None] + py.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
+    # ONE packed gather for all per-gaussian render data: separate gathers of
+    # [.,2]/[.,3]/[.] arrays each pad their trailing dim to 128 lanes on TPU;
+    # a single [G+1, 16]-row gather is ~3x faster and is the layout both
+    # compositing paths consume.
+    from instantsfm_tpu.gs import pallas_raster
+    table = pallas_raster.pack_attrs(means2d, proj.conics, colors, opacities,
+                                     proj.depths)
+    attrs = table[tile_gauss]                        # [n_tiles, K, 16] f32
 
     P = TILE * TILE
 
     if use_pallas:
-        # VMEM-resident Pallas compositing (forward-only paths: eval/render)
-        from instantsfm_tpu.gs import pallas_raster
-        origin = jnp.stack([tile_x0, tile_y0], -1)
+        # VMEM-resident Pallas compositing (custom fwd+bwd kernels)
         K_pad = -(-tile_capacity // pallas_raster.CHUNK) * pallas_raster.CHUNK
-        padk = lambda a: jnp.concatenate(
-            [a, jnp.zeros((a.shape[0], K_pad - a.shape[1]) + a.shape[2:],
-                          a.dtype)], 1) if K_pad != a.shape[1] else a
-        attrs = pallas_raster.pack_attrs(
-            padk(g_mean), padk(g_conic), padk(g_color), padk(g_opac),
-            padk(g_depth))
+        if K_pad != tile_capacity:
+            attrs = jnp.concatenate(
+                [attrs, jnp.zeros((n_tiles, K_pad - tile_capacity,
+                                   pallas_raster.ATTR), attrs.dtype)], 1)
         interpret = jax.default_backend() == "cpu"
         rgb, alpha_p, dep_p = pallas_raster.composite_tiles(
-            origin, attrs, interpret=interpret)
-        rgb = rgb.astype(dtype_means)
+            attrs, ntx, interpret)
+        rgb = jnp.moveaxis(rgb, 1, 2).astype(dtype_means)  # [n_tiles, P, 3]
         T = (1.0 - alpha_p).astype(dtype_means)
         dep = dep_p.astype(dtype_means)
         if background is not None:
@@ -197,6 +190,22 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
                          alpha=untile_p((1.0 - T)[..., None], 1)[..., 0],
                          depth=untile_p(dep[..., None], 1)[..., 0],
                          radii=proj.radii, valid=proj.valid)
+
+    # jnp fallback path: slice the packed gather back into components
+    g_mean = attrs[..., 0:2].astype(dtype_means)
+    g_conic = attrs[..., 2:5].astype(dtype_means)
+    g_color = attrs[..., 5:8].astype(dtype_means)
+    g_opac = attrs[..., 8].astype(dtype_means)
+    g_depth = attrs[..., 9].astype(dtype_means)
+
+    # ---- pixel coordinates per tile
+    tids = jnp.arange(n_tiles)
+    tile_x0 = (tids % ntx) * TILE
+    tile_y0 = (tids // ntx) * TILE
+    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    dt = dtype_means
+    pix_x = (tile_x0[:, None] + px.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
+    pix_y = (tile_y0[:, None] + py.reshape(-1)[None, :]).astype(dt) + dt.type(0.5)
 
     # Composite in chunks of gaussians: alphas for a whole chunk evaluate in
     # parallel, the within-chunk front-to-back order is an exclusive cumprod,

@@ -110,3 +110,30 @@ def test_pallas_compositing_matches_jnp(rng):
                                np.asarray(out_jnp.rgb), atol=2e-3)
     np.testing.assert_allclose(np.asarray(out_pal.alpha),
                                np.asarray(out_jnp.alpha), atol=2e-3)
+
+
+def test_pallas_gradients_match_jnp(rng):
+    """Custom-VJP Pallas backward kernel vs XLA autodiff of the jnp path."""
+    W, H = 96, 64
+    means, quats, scales, opac, sh0, viewmat, K = _random_scene(rng, G=40)
+    target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)))
+
+    def loss_fn(means, scales, opac, sh0, offset, use_pallas):
+        out = rasterize.rasterize(means, quats, scales, opac, sh0, viewmat, K,
+                                  width=W, height=H, sh_degree=0,
+                                  tiles_per_gauss=36, tile_capacity=128,
+                                  means2d_offset=offset, use_pallas=use_pallas)
+        return (jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.alpha)
+                + 0.01 * jnp.mean(out.depth))
+
+    offset = jnp.zeros((40, 2))
+    grads_j = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+        means, scales, opac, sh0, offset, False)
+    grads_p = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+        means, scales, opac, sh0, offset, True)
+    for gj, gp, name in zip(grads_j, grads_p,
+                            ["means", "scales", "opac", "sh0", "offset"]):
+        gj, gp = np.asarray(gj), np.asarray(gp)
+        scale = max(np.abs(gj).max(), 1e-8)
+        np.testing.assert_allclose(gp, gj, atol=5e-3 * scale,
+                                   err_msg=f"grad mismatch: {name}")
