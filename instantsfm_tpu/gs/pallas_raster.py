@@ -9,6 +9,13 @@ triangular MATMUL in log space (exc = SLT @ log(1-alpha)), so a whole
 and no HBM round-trips for the [K, P] alpha intermediates the XLA path
 materializes.
 
+Two dynamic cutoffs bound the work per tile (the gsplat analogs of its
+range-based tile lists and per-pixel T < 1e-4 termination):
+  * per-tile chunk counts arrive via scalar prefetch, so a tile touching only
+    c gaussians composites ceil(c/128) chunks, not K/128;
+  * the chunk loop exits once every pixel in the tile is saturated
+    (log T < log 1e-4).
+
 The backward kernel mirrors gsplat's back-to-front accumulation: pass A
 re-walks chunks front-to-back to record per-chunk log-transmittance, pass B
 walks them back-to-front keeping the per-pixel suffix sum S = sum_{j>k} w_j
@@ -29,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,6 +49,7 @@ ATTR = 16  # padded attribute count
 
 _MIN_ALPHA = 1.0 / 255.0
 _MAX_ALPHA = 0.999
+_LOG_EPS_T = float(np.log(1e-4))  # all-pixel saturation early-exit
 
 
 def _alpha_terms(a, px, py):
@@ -81,12 +90,18 @@ def _slt():
             ).astype(jnp.float32)
 
 
-def _fwd_kernel(attr_ref, out_ref, *, K, ntx):
-    px, py = _pixel_coords(pl.program_id(0), ntx)
+def _fwd_kernel(nchunks_ref, attr_ref, out_ref, *, ntx):
+    t = pl.program_id(0)
+    nc = nchunks_ref[t]
+    px, py = _pixel_coords(t, ntx)
     slt = _slt()
 
-    def body(ci, carry):
-        logT, rgb, dep = carry                 # [1,P], [3,P], [1,P]
+    def cond(carry):
+        ci, logT, _, _ = carry
+        return (ci < nc) & (jnp.max(logT) > _LOG_EPS_T)
+
+    def body(carry):
+        ci, logT, rgb, dep = carry             # [1,P], [3,P], [1,P]
         a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
         alpha, _, _, _, _, _ = _alpha_terms(a, px, py)
         lom = jnp.log1p(-alpha)                # [CHUNK, P]
@@ -100,32 +115,42 @@ def _fwd_kernel(attr_ref, out_ref, *, K, ntx):
             a[:, _DE:_DE + 1], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [1, P]
         logT = logT + jnp.sum(lom, axis=0, keepdims=True)
-        return logT, rgb, dep
+        return ci + 1, logT, rgb, dep
 
-    logT, rgb, dep = jax.lax.fori_loop(
-        0, K // CHUNK, body,
-        (jnp.zeros((1, P), jnp.float32), jnp.zeros((3, P), jnp.float32),
-         jnp.zeros((1, P), jnp.float32)))
+    _, logT, rgb, dep = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((1, P), jnp.float32),
+         jnp.zeros((3, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
     out_ref[0, 0:3, :] = rgb
     out_ref[0, 3:4, :] = 1.0 - jnp.exp(logT)
     out_ref[0, 4:5, :] = dep
     out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def _bwd_kernel(attr_ref, gout_ref, gattr_ref, logt_ref, *, K, ntx):
+def _bwd_kernel(nchunks_ref, attr_ref, gout_ref, gattr_ref, logt_ref, *, ntx):
     """gout rows: 0..2 d/drgb, 3 d/dalpha, 4 d/ddepth."""
-    px, py = _pixel_coords(pl.program_id(0), ntx)
+    t = pl.program_id(0)
+    nc = nchunks_ref[t]
+    px, py = _pixel_coords(t, ntx)
     slt = _slt()
-    n_chunks = K // CHUNK
 
-    # ---- pass A (front-to-back): per-chunk entry log-transmittance
-    def pass_a(ci, logT):
+    gattr_ref[...] = jnp.zeros_like(gattr_ref)  # chunks the loops never touch
+
+    # ---- pass A (front-to-back): per-chunk entry log-transmittance, and the
+    # effective chunk count after the same saturation exit the forward took
+    def cond_a(carry):
+        ci, logT = carry
+        return (ci < nc) & (jnp.max(logT) > _LOG_EPS_T)
+
+    def body_a(carry):
+        ci, logT = carry
         logt_ref[ci, :] = logT[0]
         a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
         alpha, _, _, _, _, _ = _alpha_terms(a, px, py)
-        return logT + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+        return ci + 1, logT + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
 
-    jax.lax.fori_loop(0, n_chunks, pass_a, jnp.zeros((1, P), jnp.float32))
+    nc_eff, _ = jax.lax.while_loop(
+        cond_a, body_a, (jnp.int32(0), jnp.zeros((1, P), jnp.float32)))
 
     g_rgb = gout_ref[0, 0:3, :]                # [3, P]
     g_alp = gout_ref[0, 3:4, :]                # [1, P]
@@ -133,7 +158,7 @@ def _bwd_kernel(attr_ref, gout_ref, gattr_ref, logt_ref, *, K, ntx):
 
     # ---- pass B (back-to-front): suffix sum S = sum_{j>k} w_j g_j
     def pass_b(i, S):
-        ci = n_chunks - 1 - i
+        ci = nc_eff - 1 - i
         a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
         alpha, grad_live, e, sigma, dx, dy = _alpha_terms(a, px, py)
         lom = jnp.log1p(-alpha)
@@ -175,7 +200,7 @@ def _bwd_kernel(attr_ref, gout_ref, gattr_ref, logt_ref, *, K, ntx):
             [g_mx, g_my, g_ca, g_cb, g_cc, g_col, g_o, g_de, zeros], axis=-1)
         return S + jnp.sum(wg, axis=0, keepdims=True)
 
-    jax.lax.fori_loop(0, n_chunks, pass_b, jnp.zeros((1, P), jnp.float32))
+    jax.lax.fori_loop(0, nc_eff, pass_b, jnp.zeros((1, P), jnp.float32))
 
 
 def pack_attrs(means2d, conics, colors, opac, depths):
@@ -190,56 +215,67 @@ def pack_attrs(means2d, conics, colors, opac, depths):
     return jnp.concatenate([table, jnp.zeros((1, ATTR), jnp.float32)], axis=0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def composite_tiles(attrs, ntx: int, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def composite_tiles(attrs, nchunks, ntx: int, interpret: bool = False):
     """attrs [n_tiles, K, ATTR] f32 (tile-gathered, depth-sorted rows; empty
-    slots all-zero, K % 128 == 0).  Tile t covers pixels
+    slots all-zero, K % 128 == 0); nchunks [n_tiles] int32 = per-tile count of
+    128-row chunks actually populated.  Tile t covers pixels
     [(t%ntx)*16, (t//ntx)*16) + [16,16).
     Returns (rgb [n_tiles, 3, P], alpha [n_tiles, P], depth [n_tiles, P])."""
-    out = _composite_fwd_raw(attrs, ntx, interpret)
+    out = _composite_fwd_raw(attrs, nchunks, ntx, interpret)
     return out[:, 0:3, :], out[:, 3, :], out[:, 4, :]
 
 
-def _composite_fwd_raw(attrs, ntx, interpret):
+def _composite_fwd_raw(attrs, nchunks, ntx, interpret):
     n_tiles, K, _ = attrs.shape
     assert K % CHUNK == 0
-    return pl.pallas_call(
-        partial(_fwd_kernel, K=K, ntx=ntx),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, K, ATTR), lambda t: (t, 0, 0),
+        in_specs=[pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        partial(_fwd_kernel, ntx=ntx),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
         interpret=interpret,
-    )(attrs)
+    )(nchunks.astype(jnp.int32), attrs)
 
 
-def _composite_vjp_fwd(attrs, ntx, interpret):
-    out = _composite_fwd_raw(attrs, ntx, interpret)
-    return (out[:, 0:3, :], out[:, 3, :], out[:, 4, :]), attrs
+def _composite_vjp_fwd(attrs, nchunks, ntx, interpret):
+    out = _composite_fwd_raw(attrs, nchunks, ntx, interpret)
+    return (out[:, 0:3, :], out[:, 3, :], out[:, 4, :]), (attrs, nchunks)
 
 
-def _composite_vjp_bwd(ntx, interpret, attrs, cts):
+def _composite_vjp_bwd(ntx, interpret, res, cts):
+    attrs, nchunks = res
     g_rgb, g_alpha, g_depth = cts
     n_tiles, K, _ = attrs.shape
     gout = jnp.concatenate([
         g_rgb, g_alpha[:, None, :], g_depth[:, None, :],
         jnp.zeros((n_tiles, 3, P), jnp.float32)], axis=1)
-    g_attrs = pl.pallas_call(
-        partial(_bwd_kernel, K=K, ntx=ntx),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, K, ATTR), lambda t: (t, 0, 0),
+        in_specs=[pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 8, P), lambda t: (t, 0, 0),
+                  pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K, ATTR), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, K, ATTR), jnp.float32),
         scratch_shapes=[pltpu.VMEM((K // CHUNK, P), jnp.float32)],
+    )
+    g_attrs = pl.pallas_call(
+        partial(_bwd_kernel, ntx=ntx),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, ATTR), jnp.float32),
         interpret=interpret,
-    )(attrs.astype(jnp.float32), gout.astype(jnp.float32))
-    return (g_attrs,)
+    )(nchunks.astype(jnp.int32), attrs.astype(jnp.float32),
+      gout.astype(jnp.float32))
+    return (g_attrs, np.zeros(nchunks.shape, jax.dtypes.float0))
 
 
 composite_tiles.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)

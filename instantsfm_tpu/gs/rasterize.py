@@ -172,9 +172,11 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
             attrs = jnp.concatenate(
                 [attrs, jnp.zeros((n_tiles, K_pad - tile_capacity,
                                    pallas_raster.ATTR), attrs.dtype)], 1)
+        nchunks = -(-jnp.minimum(counts, tile_capacity).astype(jnp.int32)
+                    // pallas_raster.CHUNK)
         interpret = jax.default_backend() == "cpu"
         rgb, alpha_p, dep_p = pallas_raster.composite_tiles(
-            attrs, ntx, interpret)
+            attrs, nchunks, ntx, interpret)
         rgb = jnp.moveaxis(rgb, 1, 2).astype(dtype_means)  # [n_tiles, P, 3]
         T = (1.0 - alpha_p).astype(dtype_means)
         dep = dep_p.astype(dtype_means)
