@@ -52,7 +52,11 @@ class BlockProblem(NamedTuple):
                 scale_ref, obs) -> r[R]
       evaluated per observation (vmapped); `*_ref` entries are the current
       parameter blocks gathered for this observation; deltas are retraction
-      coordinates (the Jacobian is taken at delta=0).
+      coordinates.  The engine only evaluates it AT delta=0 and differentiates
+      it there (jacfwd), so the delta action need only be first-order accurate
+      — e.g. poses may use X + w x X + dt instead of the exact exp map, which
+      keeps transcendentals out of the hot Jacobian path; ``retract_cam``
+      performs the exact update.
     retract_cam(cam_blocks, delta[C, PC]) -> cam_blocks
     cam_dim: PC;  res_dim: R
     has_points / has_scales: structural flags.
@@ -126,7 +130,10 @@ def cam_reduce(vals, cam_idx, C: int, chunk: int = 32768):
         v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk)
         ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
         oh = (ids[:, None] == classes[None, :]).astype(vals.dtype)
-        return acc + jnp.dot(oh.T, v, preferred_element_type=vals.dtype)
+        # HIGHEST: default f32 matmul rounds operands to bf16 on the MXU;
+        # the one-hot contraction must not round the summed values.
+        return acc + jnp.dot(oh.T, v, preferred_element_type=vals.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
 
     return jax.lax.fori_loop(0, nch, body, jnp.zeros((C, K), vals.dtype))
 
@@ -215,17 +222,23 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     else:
         Js = jnp.zeros_like(Js)
 
+    # All products below are broadcast-multiply-reduce, NOT einsum/dot:
+    # XLA lowers batched tiny matmuls ([O,2,8]x[O,8,8]...) onto the MXU at
+    # ~1% tile utilization AND in bf16 (default f32 matmul precision), which
+    # is both ~4x slower and a conditioning hazard; mul-sum stays on the VPU
+    # in exact f32 (measured on TPU: D_corr 12.4ms -> 3.0ms).
+
     # scalar-block partial products (eliminated later with damping)
     Hss = jnp.sum(Js * Js, axis=-1)                        # [O]
-    Jc_s = jnp.einsum("orc,or->oc", Jc, Js)                # [O, PC]
-    Jp_s = jnp.einsum("orp,or->op", Jp, Js)                # [O, 3]
+    Jc_s = jnp.sum(Jc * Js[:, :, None], axis=1)            # [O, PC]
+    Jp_s = jnp.sum(Jp * Js[:, :, None], axis=1)            # [O, 3]
     g_s = -jnp.sum(Js * r, axis=-1)                        # [O]
 
-    U_o = jnp.einsum("ori,orj->oij", Jc, Jc)               # [O, PC, PC]
-    V_o = jnp.einsum("ori,orj->oij", Jp, Jp)               # [O, 3, 3]
-    W = jnp.einsum("ori,orj->oij", Jc, Jp)                 # [O, PC, 3]
-    gc_o = -jnp.einsum("ori,or->oi", Jc, r)                # [O, PC]
-    gp_o = -jnp.einsum("ori,or->oi", Jp, r)                # [O, 3]
+    U_o = jnp.sum(Jc[:, :, :, None] * Jc[:, :, None, :], 1)   # [O, PC, PC]
+    V_o = jnp.sum(Jp[:, :, :, None] * Jp[:, :, None, :], 1)   # [O, 3, 3]
+    W = jnp.sum(Jc[:, :, :, None] * Jp[:, :, None, :], 1)     # [O, PC, 3]
+    gc_o = -jnp.sum(Jc * r[:, :, None], axis=1)            # [O, PC]
+    gp_o = -jnp.sum(Jp * r[:, :, None], axis=1)            # [O, 3]
 
     U = _ar(_seg_by_cam(U_o, obs.cam_idx, C), axis_name)
     g_cam = _ar(_seg_by_cam(gc_o, obs.cam_idx, C), axis_name)
@@ -239,6 +252,17 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     return NormalSystem(U=U, V=V, W=W, g_cam=g_cam, g_pt=g_pt,
                         Hss=Hss, Jc_s=Jc_s, Jp_s=Jp_s, g_s=g_s,
                         cost=_ar(cost, axis_name))
+
+
+def _mv(M, v):
+    """Batched M @ v as mul-sum: [..., i, j], [..., j] -> [..., i].
+    Keeps tiny per-block matvecs on the VPU in exact f32 (see build_system)."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
+def _mtv(M, v):
+    """Batched Mᵀ @ v as mul-sum: [..., i, j], [..., i] -> [..., j]."""
+    return jnp.sum(M * v[..., :, None], axis=-2)
 
 
 def _damped(M, lam, eps):
@@ -313,9 +337,10 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         # eliminate per-observation scalar: damped Hss, rank-1 downdates.
         Hss_d = sys.Hss * (1.0 + lam) + eps
         inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)  # frozen scales: no-op
-        U_corr = jnp.einsum("oi,oj,o->oij", sys.Jc_s, sys.Jc_s, inv_hss)
-        V_corr = jnp.einsum("oi,oj,o->oij", sys.Jp_s, sys.Jp_s, inv_hss)
-        W_corr = jnp.einsum("oi,oj,o->oij", sys.Jc_s, sys.Jp_s, inv_hss)
+        ih = inv_hss[:, None, None]
+        U_corr = sys.Jc_s[:, :, None] * sys.Jc_s[:, None, :] * ih
+        V_corr = sys.Jp_s[:, :, None] * sys.Jp_s[:, None, :] * ih
+        W_corr = sys.Jc_s[:, :, None] * sys.Jp_s[:, None, :] * ih
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
         U = U - _ar(_seg_by_cam(U_corr, obs.cam_idx, C), axis_name)
@@ -327,7 +352,7 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     U_d = _damped(U, lam, eps)
     if not problem.has_points:
         U_inv = jnp.linalg.inv(U_d)
-        d_cam = jnp.einsum("cij,cj->ci", U_inv, g_cam)
+        d_cam = _mv(U_inv, g_cam)
         d_pt = jnp.zeros((T, 3), d_cam.dtype)
         d_s = _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps)
         return d_cam, d_pt, d_s, jnp.asarray(0, jnp.int32)
@@ -339,9 +364,7 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     O = W.shape[0]
     # rhs: g_cam - W V^-1 g_pt
     rhs = g_cam - _ar(_seg_by_cam(
-        jnp.einsum("oij,oj->oi", W,
-                   _gather_by_pt(jnp.einsum("pij,pj->pi", V_inv, g_pt),
-                                 pt_idx, buckets, O)),
+        _mv(W, _gather_by_pt(_mv(V_inv, g_pt), pt_idx, buckets, O)),
         cam_idx, C), axis_name)
 
     if dense_schur:
@@ -356,7 +379,8 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         cols = (cam_idx[:, None] * PC + jnp.arange(PC)[None, :])          # [O,PC]
         Y = jnp.zeros((3 * T, n), W.dtype)
         Y = Y.at[rows[:, :, None], cols[:, None, :]].add(P)
-        S = -_ar(jnp.dot(Y.T, Y, preferred_element_type=Y.dtype), axis_name)
+        S = -_ar(jnp.dot(Y.T, Y, preferred_element_type=Y.dtype,
+                         precision=jax.lax.Precision.HIGHEST), axis_name)
         ii = jnp.arange(C)[:, None, None] * PC
         blk_r = ii + jnp.arange(PC)[None, :, None]
         blk_c = ii + jnp.arange(PC)[None, None, :]
@@ -368,32 +392,31 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         iters = jnp.asarray(0, jnp.int32)
     else:
         def schur_matvec(x):  # x: [C, PC] replicated
-            y = jnp.einsum("cij,cj->ci", U_d, x)
-            t = jnp.einsum("oij,oi->oj", W, x[cam_idx])           # [O, 3]
+            y = _mv(U_d, x)
+            t = _mtv(W, x[cam_idx])                               # [O, 3]
             s_p = _seg_by_pt(t, pt_idx, T, buckets)
-            z = jnp.einsum("pij,pj->pi", V_inv, s_p)
-            u = jnp.einsum("oij,oj->oi", W,
-                           _gather_by_pt(z, pt_idx, buckets, O))  # [O, PC]
+            z = _mv(V_inv, s_p)
+            u = _mv(W, _gather_by_pt(z, pt_idx, buckets, O))      # [O, PC]
             y2 = _ar(_seg_by_cam(u, cam_idx, C), axis_name)
             return y - y2
 
         # block-Jacobi preconditioner on the Schur diagonal
-        D_corr = jnp.einsum("oij,ojk,olk->oil", W,
-                            _gather_by_pt(V_inv, pt_idx, buckets, O), W)
+        Vg = _gather_by_pt(V_inv, pt_idx, buckets, O)                 # [O,3,3]
+        WVi = jnp.sum(W[:, :, :, None] * Vg[:, None, :, :], axis=2)   # [O,PC,3]
+        D_corr = jnp.sum(WVi[:, :, None, :] * W[:, None, :, :], -1)   # [O,PC,PC]
         D = U_d - _ar(_seg_by_cam(D_corr, cam_idx, C), axis_name)
         D = D + eps * jnp.eye(PC, dtype=D.dtype)
         D_inv = jnp.linalg.inv(D)
 
         def precond(v):
-            return jnp.einsum("cij,cj->ci", D_inv, v)
+            return _mv(D_inv, v)
 
         d_cam, _, iters = pcg(schur_matvec, rhs, precond,
                               max_iters=pcg_iters, tol=pcg_tol)
 
     # back-substitute points: d_pt = V^-1 (g_pt - W^T d_cam)
-    wtd = _seg_by_pt(jnp.einsum("oij,oi->oj", W, d_cam[cam_idx]),
-                     pt_idx, T, buckets)
-    d_pt = jnp.einsum("pij,pj->pi", V_inv, g_pt - wtd)
+    wtd = _seg_by_pt(_mtv(W, d_cam[cam_idx]), pt_idx, T, buckets)
+    d_pt = _mv(V_inv, g_pt - wtd)
 
     d_s = _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps)
     return d_cam, d_pt, d_s, iters
@@ -404,8 +427,8 @@ def _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps):
         return jnp.zeros((obs.valid.shape[0], 1), d_cam.dtype)
     Hss_d = sys.Hss * (1.0 + lam) + eps
     inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)
-    num = sys.g_s - jnp.einsum("oi,oi->o", sys.Jc_s, d_cam[obs.cam_idx]) \
-        - jnp.einsum("oi,oi->o", sys.Jp_s, d_pt[obs.pt_idx])
+    num = sys.g_s - jnp.sum(sys.Jc_s * d_cam[obs.cam_idx], -1) \
+        - jnp.sum(sys.Jp_s * d_pt[obs.pt_idx], -1)
     return (inv_hss * num)[:, None]
 
 

@@ -40,12 +40,16 @@ def make_ba_problem(model_id: int, optimize_poses: bool = True) -> BlockProblem:
     PC = pose_dims + n_intr
 
     def residual_fn(dc, cam_ref, dp, pt_ref, ds, sc_ref, obs):
+        # First-order pose action: the LM engine only evaluates/differentiates
+        # the local residual at dc=0 (block_lm.BlockProblem contract), so the
+        # left-multiplicative retraction Exp(w,dt)*T collapses to
+        # X + w x X + dt — same value and Jacobian as the exact exp map, with
+        # no transcendentals inside the vmapped jacfwd (exact update happens
+        # in retract_cam).
+        xyz = lie.quat_rotate(cam_ref["q"], pt_ref + dp) + cam_ref["t"]
         if optimize_poses:
-            q, t = lie.se3_retract(cam_ref["q"], cam_ref["t"], dc[:6])
-        else:
-            q, t = cam_ref["q"], cam_ref["t"]
+            xyz = xyz + jnp.cross(dc[:3], xyz) + dc[3:6]
         params = cam_ref["intr"].at[opt_idx].add(dc[pose_dims:])
-        xyz = lie.quat_rotate(q, pt_ref + dp) + t
         proj = cam_models.img_from_cam(model_id, params, xyz)
         return proj - obs["xy"]
 
