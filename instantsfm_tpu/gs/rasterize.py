@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from instantsfm_tpu import ops
 from instantsfm_tpu.gs import projection, sh as sh_mod
 
 TILE = 16
@@ -134,12 +135,15 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
 
     # ---- global sort by (tile, depth): one lexicographic 2-key lax.sort
     # (the radix-sort analog of gsplat's packed keys; no 64-bit ints so it is
-    # correct with and without x64).
+    # correct with and without x64).  Per-gaussian columns are broadcast, not
+    # repeat/gathered — a fused [G*16] gather costs ~10 ms here (see ops/gather).
+    ss = side * side
     flat_tiles = tile_ids.reshape(-1).astype(jnp.int32)
-    flat_gauss = jnp.repeat(jnp.arange(G, dtype=jnp.int32), side * side)
-    flat_depth = proj.depths[flat_gauss]
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(flat_depth, 0.0).astype(jnp.float32), jnp.int32)
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[:, None], (G, ss)).reshape(-1)
+    db = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depths, 0.0).astype(jnp.float32), jnp.int32)
+    depth_bits = jnp.broadcast_to(db[:, None], (G, ss)).reshape(-1)
     sorted_tiles, _, sorted_gauss = jax.lax.sort(
         (flat_tiles, depth_bits, flat_gauss), num_keys=2)
 
@@ -152,7 +156,8 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     k_idx = starts[:-1, None] + jnp.arange(tile_capacity)[None, :]
     k_ok = jnp.arange(tile_capacity)[None, :] < counts[:, None]
     k_idx = jnp.minimum(k_idx, len(sorted_gauss) - 1)
-    tile_gauss = jnp.where(k_ok, sorted_gauss[k_idx], G)  # [n_tiles, K]
+    tg = ops.isolate(lambda s, k: s[k], sorted_gauss, k_idx)
+    tile_gauss = jnp.where(k_ok, tg, G)              # [n_tiles, K]
 
     # ONE packed gather for all per-gaussian render data: separate gathers of
     # [.,2]/[.,3]/[.] arrays each pad their trailing dim to 128 lanes on TPU;
@@ -161,7 +166,7 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     from instantsfm_tpu.gs import pallas_raster
     table = pallas_raster.pack_attrs(means2d, proj.conics, colors, opacities,
                                      proj.depths)
-    attrs = table[tile_gauss]                        # [n_tiles, K, 16] f32
+    attrs = ops.fast_gather(table, tile_gauss)       # [n_tiles, K, 16] f32
 
     P = TILE * TILE
 
