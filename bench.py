@@ -101,13 +101,22 @@ def main():
     # reject while_loop defeats XLA's buffer reuse inside scan).
     step = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
                                         buckets=buckets))
-    state = LMState(params, jnp.asarray(1e-4, params.pts.dtype),
-                    jnp.asarray(jnp.inf, params.pts.dtype))
 
+    def fresh_state():
+        return LMState(params, jnp.asarray(1e-4, params.pts.dtype),
+                       jnp.asarray(jnp.inf, params.pts.dtype))
+
+    # warm the compile cache, then time N steps of ACTIVE convergence from the
+    # perturbed start (measuring at the converged fixed point instead would
+    # count the full reject-retry budget every step and say nothing about
+    # real solves, which mostly accept on the first try).
     N_WARM, N = 3, 20
+    state = fresh_state()
     for _ in range(N_WARM):
         state = step(state, obs)
     jax.block_until_ready(state.cost)
+
+    state = fresh_state()
     t0 = time.perf_counter()
     for _ in range(N):
         state = step(state, obs)

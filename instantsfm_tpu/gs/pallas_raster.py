@@ -90,11 +90,17 @@ def _slt():
             ).astype(jnp.float32)
 
 
-def _fwd_kernel(nchunks_ref, attr_ref, out_ref, *, ntx):
+_NOT_RUN = -1e30  # logt marker for chunks the fwd loop never entered
+
+
+def _fwd_kernel(nchunks_ref, attr_ref, out_ref, logt_ref, *, ntx):
     t = pl.program_id(0)
     nc = nchunks_ref[t]
     px, py = _pixel_coords(t, ntx)
     slt = _slt()
+
+    # entry log-transmittance per chunk, stashed for the backward kernel
+    logt_ref[...] = jnp.full_like(logt_ref, _NOT_RUN)
 
     def cond(carry):
         ci, logT, _, _ = carry
@@ -102,6 +108,7 @@ def _fwd_kernel(nchunks_ref, attr_ref, out_ref, *, ntx):
 
     def body(carry):
         ci, logT, rgb, dep = carry             # [1,P], [3,P], [1,P]
+        logt_ref[0, ci, :] = logT[0]
         a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
         alpha, _, _, _, _, _ = _alpha_terms(a, px, py)
         lom = jnp.log1p(-alpha)                # [CHUNK, P]
@@ -127,30 +134,20 @@ def _fwd_kernel(nchunks_ref, attr_ref, out_ref, *, ntx):
     out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def _bwd_kernel(nchunks_ref, attr_ref, gout_ref, gattr_ref, logt_ref, *, ntx):
-    """gout rows: 0..2 d/drgb, 3 d/dalpha, 4 d/ddepth."""
+def _bwd_kernel(nchunks_ref, attr_ref, gout_ref, logt_ref, gattr_ref, *, ntx):
+    """gout rows: 0..2 d/drgb, 3 d/dalpha, 4 d/ddepth.  ``logt_ref`` holds the
+    forward kernel's per-chunk entry log-transmittance (rows the forward never
+    entered are _NOT_RUN), so no re-walk (pass A) is needed."""
     t = pl.program_id(0)
-    nc = nchunks_ref[t]
     px, py = _pixel_coords(t, ntx)
     slt = _slt()
 
-    gattr_ref[...] = jnp.zeros_like(gattr_ref)  # chunks the loops never touch
+    gattr_ref[...] = jnp.zeros_like(gattr_ref)  # chunks the loop never touches
 
-    # ---- pass A (front-to-back): per-chunk entry log-transmittance, and the
-    # effective chunk count after the same saturation exit the forward took
-    def cond_a(carry):
-        ci, logT = carry
-        return (ci < nc) & (jnp.max(logT) > _LOG_EPS_T)
-
-    def body_a(carry):
-        ci, logT = carry
-        logt_ref[ci, :] = logT[0]
-        a = attr_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
-        alpha, _, _, _, _, _ = _alpha_terms(a, px, py)
-        return ci + 1, logT + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
-
-    nc_eff, _ = jax.lax.while_loop(
-        cond_a, body_a, (jnp.int32(0), jnp.zeros((1, P), jnp.float32)))
+    # effective chunk count after the forward's saturation exit
+    maxc = logt_ref.shape[1]
+    ent_max = jnp.max(logt_ref[0], axis=1)            # [maxc]
+    nc_eff = jnp.sum((ent_max > _NOT_RUN * 0.5).astype(jnp.int32))
 
     g_rgb = gout_ref[0, 0:3, :]                # [3, P]
     g_alp = gout_ref[0, 3:4, :]                # [1, P]
@@ -163,7 +160,7 @@ def _bwd_kernel(nchunks_ref, attr_ref, gout_ref, gattr_ref, logt_ref, *, ntx):
         alpha, grad_live, e, sigma, dx, dy = _alpha_terms(a, px, py)
         lom = jnp.log1p(-alpha)
         exc = jnp.dot(slt, lom, preferred_element_type=jnp.float32)
-        T = jnp.exp(logt_ref[ci, :][None, :] + exc)       # [CHUNK, P]
+        T = jnp.exp(logt_ref[0, ci, :][None, :] + exc)    # [CHUNK, P]
         w = T * alpha
 
         col = a[:, _CR:_CR + 3]
@@ -222,38 +219,43 @@ def composite_tiles(attrs, nchunks, ntx: int, interpret: bool = False):
     128-row chunks actually populated.  Tile t covers pixels
     [(t%ntx)*16, (t//ntx)*16) + [16,16).
     Returns (rgb [n_tiles, 3, P], alpha [n_tiles, P], depth [n_tiles, P])."""
-    out = _composite_fwd_raw(attrs, nchunks, ntx, interpret)
+    out, _ = _composite_fwd_raw(attrs, nchunks, ntx, interpret)
     return out[:, 0:3, :], out[:, 3, :], out[:, 4, :]
 
 
 def _composite_fwd_raw(attrs, nchunks, ntx, interpret):
     n_tiles, K, _ = attrs.shape
     assert K % CHUNK == 0
+    maxc = K // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, maxc, P), lambda t, *_: (t, 0, 0),
+                                memory_space=pltpu.VMEM)],
     )
     return pl.pallas_call(
         partial(_fwd_kernel, ntx=ntx),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, maxc, P), jnp.float32)],
         interpret=interpret,
     )(nchunks.astype(jnp.int32), attrs)
 
 
 def _composite_vjp_fwd(attrs, nchunks, ntx, interpret):
-    out = _composite_fwd_raw(attrs, nchunks, ntx, interpret)
-    return (out[:, 0:3, :], out[:, 3, :], out[:, 4, :]), (attrs, nchunks)
+    out, logt = _composite_fwd_raw(attrs, nchunks, ntx, interpret)
+    return (out[:, 0:3, :], out[:, 3, :], out[:, 4, :]), (attrs, nchunks, logt)
 
 
 def _composite_vjp_bwd(ntx, interpret, res, cts):
-    attrs, nchunks = res
+    attrs, nchunks, logt = res
     g_rgb, g_alpha, g_depth = cts
     n_tiles, K, _ = attrs.shape
+    maxc = K // CHUNK
     gout = jnp.concatenate([
         g_rgb, g_alpha[:, None, :], g_depth[:, None, :],
         jnp.zeros((n_tiles, 3, P), jnp.float32)], axis=1)
@@ -263,10 +265,11 @@ def _composite_vjp_bwd(ntx, interpret, res, cts):
         in_specs=[pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, maxc, P), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, K, ATTR), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((K // CHUNK, P), jnp.float32)],
     )
     g_attrs = pl.pallas_call(
         partial(_bwd_kernel, ntx=ntx),
@@ -274,7 +277,7 @@ def _composite_vjp_bwd(ntx, interpret, res, cts):
         out_shape=jax.ShapeDtypeStruct((n_tiles, K, ATTR), jnp.float32),
         interpret=interpret,
     )(nchunks.astype(jnp.int32), attrs.astype(jnp.float32),
-      gout.astype(jnp.float32))
+      gout.astype(jnp.float32), logt)
     return (g_attrs, np.zeros(nchunks.shape, jax.dtypes.float0))
 
 
