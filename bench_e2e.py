@@ -1,0 +1,165 @@
+"""End-to-end SfM benchmark: images/second through the full mapper.
+
+Synthetic ETH3D-indoor-scale scene (BASELINE.md configs: ~200 images,
+tens of thousands of points, sequential-ish pair topology), written to a real
+COLMAP database, then timed through the production path:
+``read_colmap_database -> solve_global_mapper -> write_reconstruction``.
+
+Prints per-stage timings plus ONE JSON line ``{"metric": "images_per_sec", ...}``
+(bench.py remains the driver-facing headline; this script guides e2e tuning
+and reports the BASELINE.md images/sec metric).
+
+The database is cached in /tmp (generation is host-side setup, not part of
+the measured pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
+                   match_noise=0.4, outlier_frac=0.08):
+    from scipy.spatial.transform import Rotation as R
+
+    from instantsfm_tpu.io.colmap_db import ColmapDatabase
+    from instantsfm_tpu.scene import cameras as cm
+    from instantsfm_tpu.scene.types import CONFIG_CALIBRATED
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    model_id = cm.SIMPLE_RADIAL
+    params = cm.pad_params([520.0, 320.0, 240.0, 0.01])
+    width, height = 640, 480
+
+    # cameras on a circle around a room-scale point volume; each camera sees a
+    # directional subset of points so only nearby views share many tracks
+    angles = np.linspace(0, 2 * np.pi, num_cams, endpoint=False)
+    centers = np.stack([8 * np.cos(angles), 8 * np.sin(angles),
+                        1.0 + 0.3 * rng.standard_normal(num_cams)], -1)
+    points = rng.uniform(-3, 3, (num_pts, 3))
+    pt_angle = np.arctan2(points[:, 1], points[:, 0])
+
+    qvec, tvec = [], []
+    for c in centers:
+        z = -c / np.linalg.norm(c)
+        x = np.cross([0, 0, 1.0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rm = np.stack([x, y, z], 0)
+        qvec.append(R.from_matrix(Rm).as_quat())
+        tvec.append(-Rm @ c)
+    qvec, tvec = np.array(qvec), np.array(tvec)
+
+    kp, feat_of_pt = [], []
+    for i in range(num_cams):
+        xyz = R.from_quat(qvec[i]).apply(points) + tvec[i]
+        xy = np.asarray(cm.img_from_cam(model_id, jnp.asarray(params),
+                                        jnp.asarray(xyz)))
+        # visibility: in front, in frame, and angularly near the camera
+        dang = np.abs(np.angle(np.exp(1j * (pt_angle - angles[i]))))
+        vis = ((xyz[:, 2] > 0.5) & (dang < 0.9)
+               & (xy[:, 0] > 0) & (xy[:, 0] < width)
+               & (xy[:, 1] > 0) & (xy[:, 1] < height))
+        idx = np.nonzero(vis)[0]
+        kp.append(xy[idx] + match_noise * rng.standard_normal((len(idx), 2)))
+        f = -np.ones(num_pts, np.int64)
+        f[idx] = np.arange(len(idx))
+        feat_of_pt.append(f)
+
+    with ColmapDatabase.connect(dbpath) as db:
+        db.create_tables()
+        cam_id = db.add_camera(model_id, width, height, params[:4],
+                               prior_focal=True)
+        img_ids = [db.add_image(f"img{i:04d}.jpg", cam_id)
+                   for i in range(num_cams)]
+        for i in range(num_cams):
+            db.add_keypoints(img_ids[i], kp[i])
+        n_pairs = n_matches = 0
+        for i in range(num_cams):
+            for dj in range(1, window + 1):
+                j = (i + dj) % num_cams
+                if j < i:
+                    continue   # ring wrap handled once
+                shared = np.nonzero((feat_of_pt[i] >= 0)
+                                    & (feat_of_pt[j] >= 0))[0]
+                if len(shared) < 30:
+                    continue
+                m = np.stack([feat_of_pt[i][shared],
+                              feat_of_pt[j][shared]], 1)
+                n_out = int(outlier_frac * len(m))
+                if n_out:
+                    sel = rng.choice(len(m), n_out, replace=False)
+                    m[sel, 1] = rng.integers(0, len(kp[j]), n_out)
+                db.add_matches(img_ids[i], img_ids[j], m)
+                db.add_two_view_geometry(img_ids[i], img_ids[j], m,
+                                         config=CONFIG_CALIBRATED)
+                n_pairs += 1; n_matches += len(m)
+        db.set_feature_name("colmap")
+    return n_pairs, n_matches
+
+
+def main():
+    num_cams = int(os.environ.get("BENCH_E2E_CAMS", "200"))
+    num_pts = int(os.environ.get("BENCH_E2E_PTS", "20000"))
+    dbpath = f"/tmp/bench_e2e_{num_cams}_{num_pts}.db"
+    if not os.path.exists(dbpath):
+        t0 = time.time()
+        n_pairs, n_matches = build_scene_db(dbpath, num_cams, num_pts)
+        print(f"[setup] db built in {time.time()-t0:.1f}s "
+              f"({n_pairs} pairs, {n_matches} matches)", file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+
+    from instantsfm_tpu.config import Config
+    from instantsfm_tpu.io.colmap_db import read_colmap_database
+    from instantsfm_tpu.pipeline.mapper import solve_global_mapper
+    from instantsfm_tpu.pipeline.writer import write_reconstruction
+
+    # device bring-up (tunnel init + first transfer) is setup, not pipeline:
+    # after an uncleanly-killed predecessor the first host readback can take
+    # minutes; warm it before the clock starts.
+    t0 = time.time()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros(())))
+    print(f"[setup] device warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t_start = time.time()
+    view_graph, cameras, images, feature_name = read_colmap_database(dbpath)
+    t_read = time.time() - t_start
+    config = Config(feature_name)
+
+    def log(*a, **k):
+        print(*a, file=sys.stderr, flush=True, **k)
+
+    cameras, images, tracks, timings = solve_global_mapper(
+        view_graph, cameras, images, config, dtype=jnp.float32, log=log)
+
+    out = "/tmp/bench_e2e_sparse"
+    t0 = time.time()
+    write_reconstruction(out, cameras, images, tracks)
+    t_write = time.time() - t0
+    total = time.time() - t_start
+
+    print(f"[stage] db_read               {t_read:7.2f}s", file=sys.stderr)
+    for name, dt in timings.items():
+        print(f"[stage] {name:<22}{dt:7.2f}s", file=sys.stderr)
+    print(f"[stage] write                 {t_write:7.2f}s", file=sys.stderr)
+    print(f"[stage] TOTAL                 {total:7.2f}s  "
+          f"({int(images.registered.sum())}/{num_cams} registered, "
+          f"{tracks.num_tracks} tracks)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "images_per_sec_e2e",
+        "value": round(num_cams / total, 3),
+        "unit": f"img/s ({num_cams} images, sequential pairs, db->sparse)",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

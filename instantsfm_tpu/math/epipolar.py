@@ -14,12 +14,15 @@ Matrix convention: x2ᵀ E x1 = 0 with E = [t]× R and  x2 = R x1 + t
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
 
 
+@partial(jax.jit, inline=True)
 def svd3x3(M):
     """Batched SVD of (..., 3, 3) via eigh of MᵀM (faster than general SVD on
     TPU; no sign guarantees beyond U S Vᵀ = M with S >= 0 descending)."""
@@ -89,6 +92,7 @@ def _epipolar_rows(x1, x2):
                       u1, v1, one], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("enforce_essential",), inline=True)
 def eight_point(x1, x2, sample_mask, enforce_essential=False):
     """Estimate F (or E) from masked correspondences via normalized 8-point.
 
@@ -118,6 +122,7 @@ def eight_point(x1, x2, sample_mask, enforce_essential=False):
     return F / jnp.maximum(norm[..., None, None], _EPS)
 
 
+@partial(jax.jit, inline=True)
 def sampson_error(F, x1, x2):
     """Squared Sampson distance per correspondence (reference
     ``utils/two_view_geometry.py:26-36``, vectorized; homogeneous z=1)."""
@@ -148,6 +153,7 @@ def homography_dlt(x1, x2, sample_mask):
     return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < _EPS, 1.0, H[..., 2:3, 2:3])
 
 
+@partial(jax.jit, inline=True)
 def homography_error(H, x1, x2):
     """Squared one-sided transfer error |proj(H x1) - x2|^2 (reference
     ``two_view_geometry.py:52-57``)."""
@@ -157,6 +163,7 @@ def homography_error(H, x1, x2):
     return jnp.sum((proj - x2) ** 2, axis=-1)
 
 
+@partial(jax.jit, inline=True)
 def decompose_essential(E):
     """E -> (R1, R2, t): the four candidate poses are (R1,t),(R1,-t),(R2,t),(R2,-t)."""
     U, s, V = svd3x3(E)
@@ -181,6 +188,7 @@ def decompose_essential(E):
     return R1, R2, t
 
 
+@partial(jax.jit, inline=True)
 def cheirality_depths(Rm, t, x1, x2):
     """Two-ray depths lambda1, lambda2 of the midpoint triangulation, scaled by
     (1 - a^2) (reference ``two_view_geometry.py:39-50``).  x1, x2: unit

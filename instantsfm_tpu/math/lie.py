@@ -11,12 +11,15 @@ Quaternion convention: ``(x, y, z, w)`` (scalar-last), matching scipy's
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
 
 
+@partial(jax.jit, inline=True)
 def quat_normalize(q):
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(_EPS)
 
@@ -26,10 +29,12 @@ def quat_identity(shape=(), dtype=jnp.float32):
     return q.at[..., 3].set(1.0)
 
 
+@partial(jax.jit, inline=True)
 def quat_conj(q):
     return jnp.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
 
 
+@partial(jax.jit, inline=True)
 def quat_mul(q1, q2):
     """Hamilton product, scalar-last convention."""
     x1, y1, z1, w1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
@@ -45,6 +50,7 @@ def quat_mul(q1, q2):
     )
 
 
+@partial(jax.jit, inline=True)
 def quat_rotate(q, v):
     """Rotate vectors ``v`` (..., 3) by quaternions ``q`` (..., 4).
 
@@ -57,10 +63,12 @@ def quat_rotate(q, v):
     return v + 2.0 * (w * uv + jnp.cross(u, uv))
 
 
+@partial(jax.jit, inline=True)
 def quat_rotate_inv(q, v):
     return quat_rotate(quat_conj(q), v)
 
 
+@partial(jax.jit, inline=True)
 def quat_to_matrix(q):
     """(..., 4) -> (..., 3, 3)."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
@@ -78,6 +86,7 @@ def quat_to_matrix(q):
     return m.reshape(m.shape[:-1] + (3, 3))
 
 
+@partial(jax.jit, inline=True)
 def matrix_to_quat(m):
     """(..., 3, 3) -> (..., 4) scalar-last; branch-free (Shepperd via max trace)."""
     m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
@@ -106,6 +115,7 @@ def matrix_to_quat(m):
     return quat_normalize(q)
 
 
+@partial(jax.jit, inline=True)
 def so3_exp(w):
     """Axis-angle (..., 3) -> quaternion (..., 4); Taylor-safe near zero."""
     theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
@@ -118,6 +128,7 @@ def so3_exp(w):
     return jnp.concatenate([w * k, cw], axis=-1)
 
 
+@partial(jax.jit, inline=True)
 def so3_log(q):
     """Quaternion (..., 4) -> axis-angle (..., 3); Taylor-safe near identity."""
     q = jnp.where(q[..., 3:4] < 0, -q, q)  # shortest arc
@@ -131,29 +142,35 @@ def so3_log(q):
     return u * scale[..., None]
 
 
+@partial(jax.jit, inline=True)
 def rotvec_to_matrix(w):
     return quat_to_matrix(so3_exp(w))
 
 
+@partial(jax.jit, inline=True)
 def matrix_to_rotvec(m):
     return so3_log(matrix_to_quat(m))
 
 
+@partial(jax.jit, inline=True)
 def se3_action(q, t, p):
     """Apply world->cam transform: R(q) p + t."""
     return quat_rotate(q, p) + t
 
 
+@partial(jax.jit, inline=True)
 def se3_inv_action(q, t, p):
     """Apply cam->world transform: R(q)^T (p - t)."""
     return quat_rotate_inv(q, p - t)
 
 
+@partial(jax.jit, inline=True)
 def camera_center(q, t):
     """Center c = -R^T t for world->cam (q, t)."""
     return -quat_rotate_inv(q, t)
 
 
+@partial(jax.jit, inline=True)
 def se3_retract(q, t, delta):
     """Left-multiplicative retraction used by the LM engine.
 
@@ -167,6 +184,7 @@ def se3_retract(q, t, delta):
     return q_new, t_new
 
 
+@partial(jax.jit, inline=True)
 def rotation_geodesic_angle(q1, q2):
     """Angle in radians between two rotations given as quaternions."""
     d = jnp.abs(jnp.sum(q1 * q2, axis=-1)).clip(0.0, 1.0)

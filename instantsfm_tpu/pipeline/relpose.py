@@ -55,9 +55,57 @@ def undistort_images(cameras: Cameras, images: Images, dtype=jnp.float64) -> Non
 
 # ------------------------------------------------------------- jitted cores
 
-@partial(jax.jit, static_argnames=("num_hyps", "essential"))
+# peak elements per scoring chunk: P * score_chunk * M capped so the [P,H,M]
+# Sampson/transfer-error intermediates (~7 floats/element) stay ~1 GB in f32
+_SCORE_BUDGET_ELTS = 32 * 1024 * 1024
+
+
+def _auto_chunk(P: int, M: int, n_cand: int) -> int:
+    c = max(8, min(_SCORE_BUDGET_ELTS // max(P * M, 1), n_cand, 512))
+    return 1 << (c.bit_length() - 1)    # pow2 keeps the jit cache small
+
+
+def _score_best(err_fn, cand, cok, x1, x2, valid, thresh_sq, score_chunk: int):
+    """Chunked hypothesis scoring: best model per pair under bounded memory.
+
+    cand: [P, N, 3, 3] candidate models; cok: [P, N] candidate validity.
+    Scores inlier counts chunk-by-chunk via lax.scan so the [P, H, M] error
+    intermediates never exceed P * score_chunk * M elements.
+    Returns (best_model [P,3,3], best_cnt [P])."""
+    P, N = cok.shape
+    pad = (-N) % score_chunk
+    if pad:
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype),
+                                    (P, pad, 3, 3))], axis=1)
+        cok = jnp.concatenate([cok, jnp.zeros((P, pad), bool)], axis=1)
+    nchunk = cand.shape[1] // score_chunk
+    cand = cand.reshape(P, nchunk, score_chunk, 3, 3).swapaxes(0, 1)
+    cok = cok.reshape(P, nchunk, score_chunk).swapaxes(0, 1)
+
+    def body(carry, chunk):
+        best_cnt, best_E = carry
+        Ec, okc = chunk
+        err = err_fn(Ec, x1[:, None], x2[:, None])
+        cnt = jnp.sum((err < thresh_sq) & valid[:, None],
+                      axis=-1, dtype=jnp.int32)
+        cnt = jnp.where(okc, cnt, -1)
+        top = jnp.argmax(cnt, axis=-1)
+        top_cnt = jnp.take_along_axis(cnt, top[:, None], axis=-1)[:, 0]
+        top_E = jnp.take_along_axis(Ec, top[:, None, None, None], axis=1)[:, 0]
+        better = top_cnt > best_cnt
+        return (jnp.where(better, top_cnt, best_cnt),
+                jnp.where(better[:, None, None], top_E, best_E)), None
+
+    init = (jnp.full((P,), -1, jnp.int32),
+            jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype), (P, 3, 3)))
+    (best_cnt, best_E), _ = jax.lax.scan(body, init, (cand, cok))
+    return best_E, best_cnt
+
+
+@partial(jax.jit, static_argnames=("num_hyps", "essential", "score_chunk"))
 def _ransac_fundamental_like(x1, x2, valid, key, num_hyps: int, thresh_sq,
-                             *, essential: bool):
+                             *, essential: bool, score_chunk: int = 512):
     """Shared RANSAC core for E (normalized coords) / F (pixels).
 
     x1, x2: [P, M, 2]; valid: [P, M]. Returns (F [P,3,3], inliers [P,M])."""
@@ -75,12 +123,11 @@ def _ransac_fundamental_like(x1, x2, valid, key, num_hyps: int, thresh_sq,
 
     F_h = jax.vmap(jax.vmap(epipolar.eight_point, in_axes=(0, 0, 0, None)),
                    in_axes=(0, 0, 0, None))(s1, s2, smask, essential)
-    err = epipolar.sampson_error(F_h, x1[:, None], x2[:, None])    # [P,H,M]
-    inl = (err < thresh_sq) & valid[:, None]
-    scores = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(scores, axis=-1)
-    F = jnp.take_along_axis(F_h, best[:, None, None, None], axis=1)[:, 0]
-    inliers = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    F, _ = _score_best(epipolar.sampson_error, F_h,
+                       jnp.ones((P, num_hyps), bool), x1, x2, valid,
+                       thresh_sq, score_chunk)
+    err = epipolar.sampson_error(F, x1, x2)
+    inliers = (err < thresh_sq) & valid
 
     # local optimization: re-estimate from inliers, twice
     def lo(_, carry):
@@ -120,36 +167,10 @@ def _ransac_essential_5pt(x1, x2, valid, key, num_hyps: int, thresh_sq,
 
     E_h, ok = fivepoint.five_point(s1, s2)          # [P,H,S,3,3], [P,H,S]
     S = fivepoint.NUM_ROOT_SLOTS
-    nc = num_hyps * S
-    pad = (-nc) % score_chunk
-    cand = E_h.reshape(P, nc, 3, 3)
-    cok = ok.reshape(P, nc)
-    if pad:
-        cand = jnp.concatenate(
-            [cand, jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype),
-                                    (P, pad, 3, 3))], axis=1)
-        cok = jnp.concatenate([cok, jnp.zeros((P, pad), bool)], axis=1)
-    nchunk = cand.shape[1] // score_chunk
-    cand = cand.reshape(P, nchunk, score_chunk, 3, 3).swapaxes(0, 1)
-    cok = cok.reshape(P, nchunk, score_chunk).swapaxes(0, 1)
-
-    def body(carry, chunk):
-        best_cnt, best_E = carry
-        Ec, okc = chunk
-        err = epipolar.sampson_error(Ec, x1[:, None], x2[:, None])
-        cnt = jnp.sum((err < thresh_sq) & valid[:, None],
-                      axis=-1, dtype=jnp.int32)
-        cnt = jnp.where(okc, cnt, -1)
-        top = jnp.argmax(cnt, axis=-1)
-        top_cnt = jnp.take_along_axis(cnt, top[:, None], axis=-1)[:, 0]
-        top_E = jnp.take_along_axis(Ec, top[:, None, None, None], axis=1)[:, 0]
-        better = top_cnt > best_cnt
-        return (jnp.where(better, top_cnt, best_cnt),
-                jnp.where(better[:, None, None], top_E, best_E)), None
-
-    init = (jnp.full((P,), -1, jnp.int32),
-            jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype), (P, 3, 3)))
-    (best_cnt, E), _ = jax.lax.scan(body, init, (cand, cok))
+    E, _ = _score_best(epipolar.sampson_error,
+                       E_h.reshape(P, num_hyps * S, 3, 3),
+                       ok.reshape(P, num_hyps * S), x1, x2, valid,
+                       thresh_sq, score_chunk)
     err = epipolar.sampson_error(E, x1, x2)
     inliers = (err < thresh_sq) & valid
 
@@ -168,8 +189,9 @@ def _ransac_essential_5pt(x1, x2, valid, key, num_hyps: int, thresh_sq,
     return E, inliers
 
 
-@partial(jax.jit, static_argnames=("num_hyps",))
-def _ransac_homography(x1, x2, valid, key, num_hyps: int, thresh_sq):
+@partial(jax.jit, static_argnames=("num_hyps", "score_chunk"))
+def _ransac_homography(x1, x2, valid, key, num_hyps: int, thresh_sq,
+                       score_chunk: int = 512):
     P, M, _ = x1.shape
     counts = jnp.maximum(jnp.sum(valid, axis=-1), 1)
     u = jax.random.uniform(key, (P, num_hyps, 4))
@@ -180,11 +202,11 @@ def _ransac_homography(x1, x2, valid, key, num_hyps: int, thresh_sq):
                     jnp.take_along_axis(x2[:, None, :, 1], idx, axis=-1)], -1)
     smask = jnp.ones(idx.shape, bool)
     H_h = jax.vmap(jax.vmap(epipolar.homography_dlt))(s1, s2, smask)
-    err = epipolar.homography_error(H_h, x1[:, None], x2[:, None])
-    inl = (err < thresh_sq) & valid[:, None]
-    best = jnp.argmax(jnp.sum(inl, -1), axis=-1)
-    H = jnp.take_along_axis(H_h, best[:, None, None, None], axis=1)[:, 0]
-    inliers = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    H, _ = _score_best(epipolar.homography_error, H_h,
+                       jnp.ones((P, num_hyps), bool), x1, x2, valid,
+                       thresh_sq, score_chunk)
+    err = epipolar.homography_error(H, x1, x2)
+    inliers = (err < thresh_sq) & valid
     H2 = epipolar.homography_dlt(x1, x2, inliers)
     err2 = epipolar.homography_error(H2, x1, x2)
     inl2 = (err2 < thresh_sq) & valid
@@ -287,16 +309,16 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
     jd = lambda a: jnp.asarray(a, dtype)
     key_e, key_f, key_h = jax.random.split(key, 3)
     if five_point:
-        E, e_inl = _ransac_essential_5pt(jd(x1_norm), jd(x2_norm),
-                                         jnp.asarray(valid), key_e,
-                                         num_hyps_minimal,
-                                         jnp.asarray(1e-3**2, dtype))
+        from instantsfm_tpu.math.fivepoint import NUM_ROOT_SLOTS
+        E, e_inl = _ransac_essential_5pt(
+            jd(x1_norm), jd(x2_norm), jnp.asarray(valid), key_e,
+            num_hyps_minimal, jnp.asarray(1e-3**2, dtype),
+            score_chunk=_auto_chunk(P, M, num_hyps_minimal * NUM_ROOT_SLOTS))
     else:
-        E, e_inl = _ransac_fundamental_like(jd(x1_norm), jd(x2_norm),
-                                            jnp.asarray(valid), key_e,
-                                            num_hyps,
-                                            jnp.asarray(1e-3**2, dtype),
-                                            essential=True)
+        E, e_inl = _ransac_fundamental_like(
+            jd(x1_norm), jd(x2_norm), jnp.asarray(valid), key_e,
+            num_hyps, jnp.asarray(1e-3**2, dtype), essential=True,
+            score_chunk=_auto_chunk(P, M, num_hyps))
 
     cfgs = view_graph.config[rows]
     sel_inl = np.array(e_inl)
@@ -305,7 +327,8 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
     if len(uncal):
         F, f_inl = _ransac_fundamental_like(
             jd(x1_pix[uncal]), jd(x2_pix[uncal]), jnp.asarray(valid[uncal]),
-            key_f, num_hyps, jnp.asarray(3.0**2, dtype), essential=False)
+            key_f, num_hyps, jnp.asarray(3.0**2, dtype), essential=False,
+            score_chunk=_auto_chunk(len(uncal), M, num_hyps))
         view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
         sel_inl[uncal] = np.asarray(f_inl)
 
@@ -314,7 +337,8 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
     if len(planar):
         H, h_inl = _ransac_homography(
             jd(x1_pix[planar]), jd(x2_pix[planar]), jnp.asarray(valid[planar]),
-            key_h, num_hyps, jnp.asarray(3.0**2, dtype))
+            key_h, num_hyps, jnp.asarray(3.0**2, dtype),
+            score_chunk=_auto_chunk(len(planar), M, num_hyps))
         view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
         sel_inl[planar] = np.asarray(h_inl)
 

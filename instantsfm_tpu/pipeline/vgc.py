@@ -30,6 +30,7 @@ from instantsfm_tpu.scene.types import (CONFIG_CALIBRATED, CONFIG_UNCALIBRATED,
 from instantsfm_tpu.solve import robust
 
 
+@jax.jit
 def _fetzer_ds(G):
     """Batched coefficient precompute (reference ``fetzer_ds``). G: [...,3,3]
     -> ds [..., 3, 4] rows (d_01, d_02, d_12)."""

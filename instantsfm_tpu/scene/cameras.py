@@ -18,6 +18,8 @@ Parameter layouts follow COLMAP conventions exactly (see the table in
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -95,6 +97,7 @@ def mean_focal(model_id, params):
     return jnp.mean(focal_lengths(model_id, params), axis=-1)
 
 
+@partial(jax.jit, static_argnames=("model_id",), inline=True)
 def calibration_matrix(model_id, params):
     ff = focal_lengths(model_id, params)
     pp = principal_point(model_id, params)
@@ -126,6 +129,7 @@ def _normal_from_fisheye(uv):
     return uv * jnp.tan(theta) / theta
 
 
+@partial(jax.jit, static_argnames=("model_id",), inline=True)
 def distortion_delta(model_id, params, uv):
     """Additive distortion d(uv) on normalized coords: distorted = uv + d.
 
@@ -183,6 +187,7 @@ def distortion_delta(model_id, params, uv):
     return jnp.zeros_like(uv)
 
 
+@partial(jax.jit, static_argnames=("model_id",), inline=True)
 def distort(model_id, params, uv):
     """Normalized coords (z=1 plane) -> distorted normalized coords.
 
@@ -196,6 +201,7 @@ def distort(model_id, params, uv):
     return uv + distortion_delta(model_id, params, uv)
 
 
+@partial(jax.jit, static_argnames=("model_id", "num_iters"), inline=True)
 def undistort(model_id, params, uv_dist, num_iters: int = 20):
     """Distorted normalized coords -> undistorted z=1 plane coords.
 
@@ -236,6 +242,7 @@ def distortion_delta_no_fisheye(model_id, params, uv):
     return distortion_delta(model_id, params, uv)
 
 
+@partial(jax.jit, static_argnames=("model_id",), inline=True)
 def img_from_cam(model_id, params, xyz):
     """Camera-frame 3D points (..., 3) -> pixel coords (..., 2).
 
@@ -248,6 +255,7 @@ def img_from_cam(model_id, params, xyz):
     return img_from_plane(model_id, params, uv)
 
 
+@partial(jax.jit, static_argnames=("model_id",), inline=True)
 def img_from_plane(model_id, params, uv):
     """z=1-plane coords -> pixel coords (distortion + K)."""
     uv_d = distort(model_id, params, uv)
@@ -260,6 +268,7 @@ def img_from_plane(model_id, params, uv):
     return uv_d * ff + pp
 
 
+@partial(jax.jit, static_argnames=("model_id", "num_iters"), inline=True)
 def cam_from_img(model_id, params, xy, num_iters: int = 20):
     """Pixel coords -> undistorted z=1 plane coords (reference ``img2cam``)."""
     ff = focal_lengths(model_id, params)
@@ -281,6 +290,7 @@ def cam_from_img(model_id, params, xy, num_iters: int = 20):
     return undistort(model_id, params, uv, num_iters=num_iters)
 
 
+@partial(jax.jit, static_argnames=("model_id", "num_iters"), inline=True)
 def bearing_from_img(model_id, params, xy, num_iters: int = 20):
     """Pixel coords -> unit bearing vectors in camera frame (..., 3).
 
