@@ -114,13 +114,15 @@ def main():
     state = fresh_state()
     for _ in range(N_WARM):
         state = step(state, obs)
-    jax.block_until_ready(state.cost)
+    float(state.cost)
 
     state = fresh_state()
     t0 = time.perf_counter()
     for _ in range(N):
         state = step(state, obs)
-    jax.block_until_ready(state.cost)
+    # time through a host readback: on tunneled backends block_until_ready
+    # can return before execution finishes; a d2h readback cannot.
+    float(state.cost)
     dt = time.perf_counter() - t0
     iters_per_sec = N / dt
 

@@ -62,11 +62,13 @@ def main():
     N_WARM, N = 3, 20
     for _ in range(N_WARM):
         fparams, opt_state, loss = step(fparams, opt_state)
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(N):
         fparams, opt_state, loss = step(fparams, opt_state)
-    jax.block_until_ready(loss)
+    # time through a host readback: on tunneled backends block_until_ready
+    # can return before execution finishes; a d2h readback cannot.
+    float(loss)
     dt = time.perf_counter() - t0
     its = N / dt
 

@@ -65,14 +65,69 @@ def _auto_chunk(P: int, M: int, n_cand: int) -> int:
     return 1 << (c.bit_length() - 1)    # pow2 keeps the jit cache small
 
 
+# preemptive scoring: subsample size and survivor count for the two-stage
+# path (all candidates scored on SUBSET matches; only TOPK survivors scored
+# on every match).  Kicks in when it saves work; LO rounds re-estimate from
+# the final inlier set, so a near-best survivor recovers the best model.
+_PRESCORE_SUBSET = 256
+_PRESCORE_TOPK = 16
+
+
+def _subsample_cols(x, idx):
+    return x[:, idx]
+
+
+def _score_counts(err_fn, cand, cok, x1, x2, valid, thresh_sq,
+                  score_chunk: int):
+    """Inlier counts for EVERY candidate (chunked): [P, N] int32; invalid
+    candidates get -1."""
+    P, N = cok.shape
+    pad = (-N) % score_chunk
+    if pad:
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(jnp.eye(3, dtype=cand.dtype),
+                                    (P, pad, 3, 3))], axis=1)
+        cok = jnp.concatenate([cok, jnp.zeros((P, pad), bool)], axis=1)
+    nchunk = cand.shape[1] // score_chunk
+    cand_c = cand.reshape(P, nchunk, score_chunk, 3, 3).swapaxes(0, 1)
+    cok_c = cok.reshape(P, nchunk, score_chunk).swapaxes(0, 1)
+
+    def body(_, chunk):
+        Ec, okc = chunk
+        err = err_fn(Ec, x1[:, None], x2[:, None])
+        cnt = jnp.sum((err < thresh_sq) & valid[:, None],
+                      axis=-1, dtype=jnp.int32)
+        return None, jnp.where(okc, cnt, -1)
+
+    _, cnts = jax.lax.scan(body, None, (cand_c, cok_c))   # [nchunk, P, chunk]
+    return cnts.swapaxes(0, 1).reshape(P, N + pad)[:, :N]
+
+
 def _score_best(err_fn, cand, cok, x1, x2, valid, thresh_sq, score_chunk: int):
     """Chunked hypothesis scoring: best model per pair under bounded memory.
 
     cand: [P, N, 3, 3] candidate models; cok: [P, N] candidate validity.
     Scores inlier counts chunk-by-chunk via lax.scan so the [P, H, M] error
-    intermediates never exceed P * score_chunk * M elements.
+    intermediates never exceed P * score_chunk * M elements.  When the match
+    axis is long and there are many candidates, a preemptive pass scores all
+    candidates on a strided match subset and only the top survivors are
+    scored in full.
     Returns (best_model [P,3,3], best_cnt [P])."""
     P, N = cok.shape
+    M = x1.shape[1]
+    if M >= 2 * _PRESCORE_SUBSET and N > 4 * _PRESCORE_TOPK:
+        stride = M // _PRESCORE_SUBSET
+        sub = jnp.arange(_PRESCORE_SUBSET) * stride
+        cnt_sub = _score_counts(err_fn, cand, cok, _subsample_cols(x1, sub),
+                                _subsample_cols(x2, sub),
+                                _subsample_cols(valid, sub), thresh_sq,
+                                min(score_chunk * max(M // _PRESCORE_SUBSET, 1),
+                                    N))
+        _, top = jax.lax.top_k(cnt_sub, _PRESCORE_TOPK)          # [P, K]
+        cand = jnp.take_along_axis(cand, top[:, :, None, None], axis=1)
+        cok = jnp.take_along_axis(cok, top, axis=1)
+        N = _PRESCORE_TOPK
+        score_chunk = min(score_chunk, N)
     pad = (-N) % score_chunk
     if pad:
         cand = jnp.concatenate(
@@ -226,7 +281,13 @@ def _final_pose(E, b1, b2, sel_mask):
 
 # ----------------------------------------------------------------- stage API
 
-def _bucket(n, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)):
+def _bucket(n, buckets=(256, 1024, 4096, 16384)):
+    """Pad match counts to a coarse power-of-4 ladder.
+
+    Each (pairs, matches) shape is a separate XLA program; on remote-compile
+    backends every program costs ~1 min to build and seconds to (re)load from
+    the persistent cache, while padded scoring work is nearly free — so few
+    fat buckets beat many tight ones."""
     for b in buckets:
         if n <= b:
             return b

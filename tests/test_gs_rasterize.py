@@ -97,6 +97,35 @@ def test_ssim_basics(rng):
     assert float(psnr(a, a)) > 100
 
 
+def test_ssim_matches_direct_convolution(rng):
+    """The banded-matmul blur must reproduce the standard 11x11 sigma=1.5
+    gaussian-window SSIM (fused-ssim / pytorch-msssim formulation)."""
+    from scipy.ndimage import correlate1d
+
+    a = rng.uniform(0, 1, (40, 52, 3))
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape), 0, 1)
+
+    x = np.arange(11) - 5
+    w = np.exp(-(x**2) / (2 * 1.5**2))
+    w /= w.sum()
+
+    def blur(img):
+        out = correlate1d(img, w, axis=0)
+        out = correlate1d(out, w, axis=1)
+        return out[5:-5, 5:-5]  # valid region
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x, mu_y = blur(a), blur(b)
+    sig_x = blur(a * a) - mu_x**2
+    sig_y = blur(b * b) - mu_y**2
+    sig_xy = blur(a * b) - mu_x * mu_y
+    ref = np.mean((2 * mu_x * mu_y + c1) * (2 * sig_xy + c2)
+                  / ((mu_x**2 + mu_y**2 + c1) * (sig_x + sig_y + c2)))
+
+    got = float(ssim(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+    assert abs(got - ref) < 1e-5, (got, ref)
+
+
 def test_pallas_compositing_matches_jnp(rng):
     """Pallas tile kernel (interpret mode on CPU) vs the jnp compositing."""
     W, H = 96, 64
