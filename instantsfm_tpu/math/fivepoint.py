@@ -67,12 +67,26 @@ _T11 = _mul_table(_DEG1, _DEG1, _DEG2)       # deg1 * deg1 -> deg2
 _T21 = _mul_table(_DEG2, _DEG1, _DEG3)       # deg2 * deg1 -> deg3
 
 
+def _table_mul(a, b, T):
+    """sum_ij a_i b_j T[i,j,k] as outer-product-flatten + ONE [ij, k] matmul.
+
+    XLA lowers the naive three-operand einsum to per-problem tiny batched
+    matmuls (~1% MXU tile utilization, bf16-rounded); flattening the batch
+    into matmul rows makes it a single large MXU contraction (the same fix as
+    the LM engine's system products, solve/block_lm.py)."""
+    ab = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (-1,))
+    Tf = jnp.asarray(T.reshape(-1, T.shape[-1]), a.dtype)
+    return jax.lax.dot_general(ab, Tf, (((ab.ndim - 1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=a.dtype)
+
+
 def _mul11(a, b):
-    return jnp.einsum("...i,...j,ijk->...k", a, b, jnp.asarray(_T11, a.dtype))
+    return _table_mul(a, b, _T11)
 
 
 def _mul21(a, b):
-    return jnp.einsum("...i,...j,ijk->...k", a, b, jnp.asarray(_T21, a.dtype))
+    return _table_mul(a, b, _T21)
 
 
 def _polymul_table(na, nb):
@@ -85,8 +99,7 @@ def _polymul_table(na, nb):
 
 def _polymul(a, b):
     """Univariate poly product, descending-degree coefficient vectors."""
-    T = jnp.asarray(_polymul_table(a.shape[-1], b.shape[-1]), a.dtype)
-    return jnp.einsum("...i,...j,ijk->...k", a, b, T)
+    return _table_mul(a, b, _polymul_table(a.shape[-1], b.shape[-1]))
 
 
 # ------------------------------------------------------------ core pipeline
@@ -152,9 +165,13 @@ def _gauss_jordan10(A):
         p = jnp.argmax(col, axis=-1)                         # [...]
         pv = jnp.take_along_axis(col, p[..., None], axis=-1)[..., 0]
         ok = ok & (pv > 1e3 * jnp.finfo(A.dtype).tiny)
-        swap = jnp.where(rowidx == i, p[..., None],
-                         jnp.where(rowidx == p[..., None], i, rowidx))
-        A = jnp.take_along_axis(A, swap[..., None], axis=-2)
+        # swap rows i <-> p with ONE single-row gather + where-blend (a
+        # whole-matrix permutation gather hits XLA's slow fused-gather path)
+        Ap = jnp.take_along_axis(A, p[..., None, None], axis=-2)  # [..., 1, 20]
+        Ai = A[..., i:i + 1, :]
+        mask_i = (rowidx == i)[:, None]
+        mask_p = (rowidx == p[..., None])[..., None]
+        A = jnp.where(mask_i, Ap, jnp.where(mask_p, Ai, A))
         piv = A[..., i, :]
         piv = piv / jnp.where(jnp.abs(piv[..., i:i + 1]) < _EPS, 1.0,
                               piv[..., i:i + 1])
@@ -364,12 +381,16 @@ def _gn_polish(A, xs, ys, zs, iters=4):
     return xs, ys, zs
 
 
-def five_point(x1, x2):
+def five_point(x1, x2, polish: bool = True):
     """Candidate essential matrices from five correspondences.
 
     x1, x2: [..., 5, 2] normalized (z=1) coords, convention x2^T E x1 = 0.
     Returns (E [..., NUM_ROOT_SLOTS, 3, 3] Frobenius-normalized,
     valid [..., NUM_ROOT_SLOTS]).  Invalid slots hold identity placeholders.
+    ``polish=False`` skips the Gauss-Newton constraint polish — inside RANSAC
+    the unpolished candidates score within noise of polished ones and the
+    LO re-estimation refines the winner anyway, while the polish costs more
+    than the rest of the solver combined.
     """
     basis = _nullspace4(x1, x2)                              # [..., 4, 3, 3]
     A = _constraint_matrix(basis)
@@ -403,7 +424,8 @@ def five_point(x1, x2):
     wsafe = jnp.where(jnp.abs(w) < _EPS, 1.0, w)
     xs = v[..., 0] / wsafe
     ys = v[..., 1] / wsafe
-    xs, ys, z = _gn_polish(A, xs, ys, z)
+    if polish:
+        xs, ys, z = _gn_polish(A, xs, ys, z)
 
     coeff = jnp.stack([xs, ys, z, jnp.ones_like(z)], axis=-1)  # [..., R, 4]
     E = jnp.einsum("...rc,...cij->...rij", coeff,

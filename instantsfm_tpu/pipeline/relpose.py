@@ -220,7 +220,8 @@ def _ransac_essential_5pt(x1, x2, valid, key, num_hyps: int, thresh_sq,
     s2 = jnp.stack([jnp.take_along_axis(x2[:, None, :, 0], idx, axis=-1),
                     jnp.take_along_axis(x2[:, None, :, 1], idx, axis=-1)], -1)
 
-    E_h, ok = fivepoint.five_point(s1, s2)          # [P,H,S,3,3], [P,H,S]
+    # polish=False: RANSAC scores raw candidates; LO refines the winner
+    E_h, ok = fivepoint.five_point(s1, s2, polish=False)  # [P,H,S,3,3], [P,H,S]
     S = fivepoint.NUM_ROOT_SLOTS
     E, _ = _score_best(epipolar.sampson_error,
                        E_h.reshape(P, num_hyps * S, 3, 3),
