@@ -537,19 +537,36 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
                                         params.pts.dtype), jnp.asarray(jnp.inf))
     history = []
     w = cfg.window_size
+
+    def _converged():
+        if len(history) < 2 * w:
+            return False
+        recent = np.mean(history[-w:])
+        prev = np.mean(history[-2 * w:-w])
+        if prev > 0 and abs((prev - recent) / prev) < cfg.function_tolerance:
+            return True
+        return history[-1] == history[-2]
+
+    # The convergence check lags execution by one iteration: iteration k+1 is
+    # dispatched before iteration k's cost is read back, so the host<->device
+    # readback latency overlaps the next step's compute (one extra LM
+    # iteration at worst — it only improves the state).
+    pending = None          # (it, cost device scalar)
     for it in range(cfg.max_iterations):
         state = step(state, obs)
-        loss = float(state.cost)
-        history.append(loss)
-        if verbose:
-            print(f"  lm iter {it:3d}  loss {loss:.6e}")
         if callback is not None:
             callback(it, state)
-        if len(history) >= 2 * w:
-            recent = np.mean(history[-w:])
-            prev = np.mean(history[-2 * w:-w])
-            if prev > 0 and abs((prev - recent) / prev) < cfg.function_tolerance:
+        if pending is not None:
+            loss = float(pending[1])
+            history.append(loss)
+            if verbose:
+                print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}")
+            if _converged():
                 break
-            if history[-1] == history[-2]:
-                break
+        pending = (it, state.cost)
+    if pending is not None and (not history or pending[0] > len(history) - 1):
+        loss = float(pending[1])
+        history.append(loss)
+        if verbose:
+            print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}")
     return state, history
