@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from instantsfm_tpu.math import lie
+from instantsfm_tpu.utils.debug import span
 from instantsfm_tpu.scene import cameras as cam_models
 from instantsfm_tpu.scene.types import Cameras, Images, Tracks
 from instantsfm_tpu.solve import robust
@@ -82,10 +83,16 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
     from instantsfm_tpu.solve.blocked import bucketize_problem
-    params, obs, buckets, point_slots = bucketize_problem(params, obs)
-    state, history = optimize(problem, kernel, cfg, params, obs,
-                              verbose=verbose, callback=callback,
-                              buckets=buckets)
+    with span("ba bucketize"):
+        params, obs, buckets, point_slots = bucketize_problem(params, obs)
+    from instantsfm_tpu.utils import debug as _dbg0
+    with span("ba optimize"):
+        state, history = optimize(problem, kernel, cfg, params, obs,
+                                  verbose=verbose or _dbg0.ENABLED,
+                                  callback=callback, buckets=buckets)
+    from instantsfm_tpu.utils import debug as _dbg
+    if _dbg.ENABLED:
+        print(f"    [t] ba iters: {len(history)}", flush=True)
 
     # ---- write back (points live in bucket slots)
     images.qvec[u_img] = np.asarray(state.params.cam["q"], np.float64)

@@ -26,6 +26,7 @@ import numpy as np
 
 from instantsfm_tpu.math import epipolar, fivepoint, lie
 from instantsfm_tpu.scene import cameras as cam_models
+from instantsfm_tpu.utils.debug import span
 from instantsfm_tpu.scene.types import (CONFIG_CALIBRATED, CONFIG_PANORAMIC,
                                         CONFIG_PLANAR,
                                         CONFIG_PLANAR_OR_PANORAMIC,
@@ -71,6 +72,10 @@ def _auto_chunk(P: int, M: int, n_cand: int) -> int:
 # the final inlier set, so a near-best survivor recovers the best model.
 _PRESCORE_SUBSET = 256
 _PRESCORE_TOPK = 16
+
+# max matches per pair used for model ESTIMATION (sampling, scoring, LO,
+# pose voting); final inlier/cheirality masks always use every match
+_ESTIMATE_CAP = 4096
 
 
 def _subsample_cols(x, idx):
@@ -280,6 +285,31 @@ def _final_pose(E, b1, b2, sel_mask):
     return q, t, pass_mask
 
 
+@jax.jit
+def _final_pose_qt(E, b1, b2, sel_mask):
+    """Pose voting only (on a match subsample); mask computed separately."""
+    Rm, t, _ = jax.vmap(epipolar.recover_pose)(E, b1, b2, sel_mask)
+    return lie.matrix_to_quat(Rm), Rm, t
+
+
+@jax.jit
+def _cheirality_pass(Rm, t, b1, b2, sel_mask, min_depth=0.0, max_depth=100.0):
+    """Full-size cheirality mask for an already-chosen pose (recover_pose's
+    acceptance test applied to every match)."""
+    lam1, lam2, sc = jax.vmap(epipolar.cheirality_depths)(Rm, t, b1, b2)
+    return ((lam1 > min_depth * sc) & (lam2 > min_depth * sc)
+            & (lam1 < max_depth * sc) & (lam2 < max_depth * sc) & sel_mask)
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _model_inliers(model, x1, x2, valid, thresh_sq, kind: str = "sampson"):
+    """Inlier mask of a fitted model over ALL matches (the estimation itself
+    may have run on a subsample)."""
+    err_fn = (epipolar.sampson_error if kind == "sampson"
+              else epipolar.homography_error)
+    return (err_fn(model, x1, x2) < thresh_sq) & valid
+
+
 # ----------------------------------------------------------------- stage API
 
 def _bucket(n, buckets=(256, 1024, 4096, 16384)):
@@ -347,6 +377,7 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
 def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
                    pad_to=None, five_point=True, num_hyps_minimal=192):
     P = pad_to if pad_to else len(rows)
+    _sp = span(f"relpose chunk pack P={P} M={M}"); _sp.__enter__()
     x1_pix = np.zeros((P, M, 2))
     x2_pix = np.zeros((P, M, 2))
     x1_norm = np.zeros((P, M, 2))
@@ -368,45 +399,78 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
         b2[k, :n] = images.kp_bearing[f2]
         valid[k, :n] = True
 
+    _sp.__exit__()
     jd = lambda a: jnp.asarray(a, dtype)
     key_e, key_f, key_h = jax.random.split(key, 3)
+
+    # estimation cap: RANSAC sampling/scoring/LO run on a strided subsample of
+    # at most _ESTIMATE_CAP matches per pair (statistically equivalent for
+    # model selection); inlier and cheirality masks are then recomputed over
+    # ALL matches with the winning models.  Big match buckets thereby reuse
+    # the _ESTIMATE_CAP-shaped estimation programs.
+    Ms = min(M, _ESTIMATE_CAP)
+    sub = np.arange(Ms) * (M // Ms)
+    ss = (lambda a: a[:, sub]) if M > Ms else (lambda a: a)
+
+    e_thresh = jnp.asarray(1e-3**2, dtype)
     if five_point:
         from instantsfm_tpu.math.fivepoint import NUM_ROOT_SLOTS
-        E, e_inl = _ransac_essential_5pt(
-            jd(x1_norm), jd(x2_norm), jnp.asarray(valid), key_e,
-            num_hyps_minimal, jnp.asarray(1e-3**2, dtype),
-            score_chunk=_auto_chunk(P, M, num_hyps_minimal * NUM_ROOT_SLOTS))
+        with span(f"relpose 5pt P={P} M={Ms}"):
+            E, _ = _ransac_essential_5pt(
+                jd(ss(x1_norm)), jd(ss(x2_norm)), jnp.asarray(ss(valid)),
+                key_e, num_hyps_minimal, e_thresh,
+                score_chunk=_auto_chunk(P, Ms, num_hyps_minimal * NUM_ROOT_SLOTS))
     else:
-        E, e_inl = _ransac_fundamental_like(
-            jd(x1_norm), jd(x2_norm), jnp.asarray(valid), key_e,
-            num_hyps, jnp.asarray(1e-3**2, dtype), essential=True,
-            score_chunk=_auto_chunk(P, M, num_hyps))
+        E, _ = _ransac_fundamental_like(
+            jd(ss(x1_norm)), jd(ss(x2_norm)), jnp.asarray(ss(valid)), key_e,
+            num_hyps, e_thresh, essential=True,
+            score_chunk=_auto_chunk(P, Ms, num_hyps))
+    e_inl = _model_inliers(E, jd(x1_norm), jd(x2_norm), jnp.asarray(valid),
+                           e_thresh)
 
     cfgs = view_graph.config[rows]
-    sel_inl = np.array(e_inl)
+    with span("relpose e_inl to host"):
+        sel_inl = np.array(e_inl)
 
+    pix_thresh = jnp.asarray(3.0**2, dtype)
     uncal = np.nonzero(cfgs == CONFIG_UNCALIBRATED)[0]
     if len(uncal):
-        F, f_inl = _ransac_fundamental_like(
-            jd(x1_pix[uncal]), jd(x2_pix[uncal]), jnp.asarray(valid[uncal]),
-            key_f, num_hyps, jnp.asarray(3.0**2, dtype), essential=False,
-            score_chunk=_auto_chunk(len(uncal), M, num_hyps))
+        F, _ = _ransac_fundamental_like(
+            jd(ss(x1_pix)[uncal]), jd(ss(x2_pix)[uncal]),
+            jnp.asarray(ss(valid)[uncal]), key_f, num_hyps, pix_thresh,
+            essential=False, score_chunk=_auto_chunk(len(uncal), Ms, num_hyps))
+        f_inl = _model_inliers(F, jd(x1_pix[uncal]), jd(x2_pix[uncal]),
+                               jnp.asarray(valid[uncal]), pix_thresh)
         view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
         sel_inl[uncal] = np.asarray(f_inl)
 
     planar = np.nonzero(np.isin(cfgs, (CONFIG_PLANAR, CONFIG_PANORAMIC,
                                        CONFIG_PLANAR_OR_PANORAMIC)))[0]
     if len(planar):
-        H, h_inl = _ransac_homography(
-            jd(x1_pix[planar]), jd(x2_pix[planar]), jnp.asarray(valid[planar]),
-            key_h, num_hyps, jnp.asarray(3.0**2, dtype),
-            score_chunk=_auto_chunk(len(planar), M, num_hyps))
+        H, _ = _ransac_homography(
+            jd(ss(x1_pix)[planar]), jd(ss(x2_pix)[planar]),
+            jnp.asarray(ss(valid)[planar]), key_h, num_hyps, pix_thresh,
+            score_chunk=_auto_chunk(len(planar), Ms, num_hyps))
+        h_inl = _model_inliers(H, jd(x1_pix[planar]), jd(x2_pix[planar]),
+                               jnp.asarray(valid[planar]), pix_thresh,
+                               kind="homography")
         view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
         sel_inl[planar] = np.asarray(h_inl)
 
-    q, t, pass_mask = _final_pose(E, jd(b1), jd(b2), jnp.asarray(sel_inl))
+    with span(f"relpose final_pose P={P} M={M}"):
+        if M > Ms:
+            # vote for (R, t) on the subsample; cheirality mask on all matches
+            q, Rm, t = _final_pose_qt(E, jd(ss(b1)), jd(ss(b2)),
+                                      jnp.asarray(ss(np.ascontiguousarray(
+                                          sel_inl))))
+            pass_mask = _cheirality_pass(Rm, t, jd(b1), jd(b2),
+                                         jnp.asarray(sel_inl))
+        else:
+            q, t, pass_mask = _final_pose(E, jd(b1), jd(b2),
+                                          jnp.asarray(sel_inl))
 
     n_real = len(rows)
+    _sp = span("relpose writeback"); _sp.__enter__()
     view_graph.E_mat[rows] = np.asarray(E, np.float64)[:n_real]
     view_graph.qvec[rows] = np.asarray(q, np.float64)[:n_real]
     view_graph.tvec[rows] = np.asarray(t, np.float64)[:n_real]
@@ -415,3 +479,4 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
         sl = slice(view_graph.match_offset[e], view_graph.match_offset[e + 1])
         n = sl.stop - sl.start
         view_graph.inlier_mask[sl] = final_inl[k, :n]
+    _sp.__exit__()

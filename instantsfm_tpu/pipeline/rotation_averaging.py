@@ -56,24 +56,45 @@ def _mst_init(view_graph: ViewGraph, images: Images) -> None:
     key = ei.astype(np.int64) * n + ej
     edge_row = dict(zip(key.tolist(), np.nonzero(mask)[0].tolist()))
 
-    q = images.qvec.copy()
+    # batched per BFS level: quaternion math in numpy (per-node device
+    # dispatches dominate the python-loop version)
+    def npq_conj(q):
+        return np.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
+
+    def npq_mul(q1, q2):
+        x1, y1, z1, w1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+        x2, y2, z2, w2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+        return np.stack([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2], axis=-1)
+
+    # depth of each node (parents precede children in BFS order)
+    depth = np.zeros(n, np.int64)
+    items = []  # (depth, node, row, flip)
     for node in order:
         parent = pred[node]
         if parent < 0 or node == root:
             continue
+        depth[node] = depth[parent] + 1
         a, b = (node, parent) if node < parent else (parent, node)
         row = edge_row.get(int(a) * n + int(b))
         if row is None:
             continue
-        q_rel = view_graph.qvec[row]  # maps cam(pair_i) -> cam(pair_j)
-        qp = q[parent]
-        if view_graph.pair_i[row] == node:
-            # R_parent = R_rel R_node  =>  R_node = R_rel^-1 R_parent
-            q_node = np.asarray(lie.quat_mul(lie.quat_conj(jnp.asarray(q_rel)),
-                                             jnp.asarray(qp)))
-        else:
-            q_node = np.asarray(lie.quat_mul(jnp.asarray(q_rel), jnp.asarray(qp)))
-        q[node] = q_node
+        items.append((depth[node], node, row, view_graph.pair_i[row] == node))
+
+    q = images.qvec.copy()
+    if items:
+        arr = np.array([(d, nd, r, f) for d, nd, r, f in items], np.int64)
+        for d in range(1, int(arr[:, 0].max()) + 1):
+            lvl = arr[arr[:, 0] == d]
+            nodes_l, rows_l, flip_l = lvl[:, 1], lvl[:, 2], lvl[:, 3] == 1
+            q_rel = view_graph.qvec[rows_l]
+            qp = q[pred[nodes_l]]
+            # flip: R_parent = R_rel R_node => R_node = R_rel^-1 R_parent
+            q_rel = np.where(flip_l[:, None], npq_conj(q_rel), q_rel)
+            q[nodes_l] = npq_mul(q_rel, qp)
     images.qvec = q
 
 

@@ -539,13 +539,15 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     w = cfg.window_size
 
     def _converged():
+        # loss plateau: break immediately (reference bundle_adjustment.py:140
+        # breaks on equal consecutive losses without waiting for the window)
+        if len(history) >= 2 and history[-1] == history[-2]:
+            return True
         if len(history) < 2 * w:
             return False
         recent = np.mean(history[-w:])
         prev = np.mean(history[-2 * w:-w])
-        if prev > 0 and abs((prev - recent) / prev) < cfg.function_tolerance:
-            return True
-        return history[-1] == history[-2]
+        return prev > 0 and abs((prev - recent) / prev) < cfg.function_tolerance
 
     # The convergence check lags execution by one iteration: iteration k+1 is
     # dispatched before iteration k's cost is read back, so the host<->device
@@ -560,13 +562,15 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
             loss = float(pending[1])
             history.append(loss)
             if verbose:
-                print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}")
+                print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}"
+                      f"  lam {float(pending[2]):.3e}")
             if _converged():
                 break
-        pending = (it, state.cost)
+        pending = (it, state.cost, state.lam)
     if pending is not None and (not history or pending[0] > len(history) - 1):
         loss = float(pending[1])
         history.append(loss)
         if verbose:
-            print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}")
+            print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}"
+                  f"  lam {float(pending[2]):.3e}")
     return state, history
