@@ -475,8 +475,11 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
     view_graph.qvec[rows] = np.asarray(q, np.float64)[:n_real]
     view_graph.tvec[rows] = np.asarray(t, np.float64)[:n_real]
     final_inl = np.asarray(pass_mask)
-    for k, e in enumerate(rows):
-        sl = slice(view_graph.match_offset[e], view_graph.match_offset[e + 1])
-        n = sl.stop - sl.start
-        view_graph.inlier_mask[sl] = final_inl[k, :n]
+    # one fancy-index write for all pairs' masks (row k covers matches
+    # [offset[e], offset[e]+n_e) <- final_inl[k, :n_e])
+    offs = view_graph.match_offset[rows]
+    lens = view_graph.match_offset[rows + 1] - offs
+    kk = np.repeat(np.arange(n_real), lens)
+    col = np.arange(len(kk)) - np.repeat(np.cumsum(lens) - lens, lens)
+    view_graph.inlier_mask[np.repeat(offs, lens) + col] = final_inl[kk, col]
     _sp.__exit__()

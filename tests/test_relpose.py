@@ -208,3 +208,29 @@ def test_five_point_ransac_planar(rng):
     t_dir = vg.tvec[0] / np.linalg.norm(vg.tvec[0])
     t_gt = t_rel / np.linalg.norm(t_rel)
     assert np.dot(t_dir, t_gt) > 0.99, f"translation direction {np.dot(t_dir, t_gt)}"
+
+
+def test_full_relpose_stage_estimation_cap(rng, monkeypatch):
+    """The >_ESTIMATE_CAP path: estimation on a strided subsample, masks
+    recomputed over all matches — same pose quality, full-size masks."""
+    from instantsfm_tpu.pipeline import relpose as rp
+
+    params, xy1, xy2, R_rel, t_rel, gt_inlier = _two_view_scene(
+        rng, noise_px=0.1, outlier_frac=0.2)
+    vg, cameras, images = _build_scene(params, xy1, xy2)
+    undistort_images(cameras, images)
+    # force the cap below this scene's match count so the subsample path runs
+    monkeypatch.setattr(rp, "_ESTIMATE_CAP", max(16, len(xy1) // 4))
+    estimate_relative_pose(vg, cameras, images, num_hyps=512, chunk_pairs=4)
+
+    assert vg.valid[0]
+    R_est = np.asarray(lie.quat_to_matrix(jnp.asarray(vg.qvec[0])))
+    ang = np.rad2deg(np.arccos(np.clip((np.trace(R_est.T @ R_rel) - 1) / 2, -1, 1)))
+    assert ang < 1.5, f"rotation error {ang} deg"
+    t_dir = vg.tvec[0] / np.linalg.norm(vg.tvec[0])
+    t_gt = t_rel / np.linalg.norm(t_rel)
+    assert np.dot(t_dir, t_gt) > 0.995
+    est_inl = vg.inlier_mask
+    assert len(est_inl) == len(gt_inlier)          # full-size masks
+    assert est_inl[gt_inlier].mean() > 0.85
+    assert est_inl[~gt_inlier].mean() < 0.1
