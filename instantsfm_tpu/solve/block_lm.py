@@ -164,6 +164,30 @@ def _gather_by_pt(arr, pt_idx, buckets, O):
     return arr[pt_idx]
 
 
+# max observations per residual/Jacobian evaluation slab (see build_system)
+_EVAL_CHUNK = 1 << 21
+
+
+def _chunked_vmap(fn, args, chunk: int = _EVAL_CHUNK):
+    """vmap(fn)(*args) evaluated slab-by-slab with lax.map so per-element
+    temporaries never exceed ``chunk`` rows; outputs match the one-shot vmap."""
+    O = jax.tree_util.tree_leaves(args)[0].shape[0]
+    if O <= chunk:
+        return jax.vmap(fn)(*args)
+    pad = (-O) % chunk
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a.reshape((-1, chunk) + a.shape[1:])
+
+    args_c = jax.tree_util.tree_map(prep, args)
+    outs = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), args_c)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((O + pad,) + o.shape[2:])[:O], outs)
+
+
 def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel,
                  axis_name: str = None) -> jnp.ndarray:
@@ -212,7 +236,11 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
         jc, jp, js = jax.jacfwd(local_res)(zeros, cam_ref, pt_ref, sc_ref, data)
         return r, jc, jp, js[..., 0]
 
-    r, Jc, Jp, Js = jax.vmap(res_and_jac)(cam_g, pt_g, params.scales, obs.data)
+    # evaluate in bounded observation slabs: the jacfwd temporaries are
+    # O(tangents x residual-chain) per observation and exceed HBM for
+    # multi-million-observation problems if vmapped in one shot
+    r, Jc, Jp, Js = _chunked_vmap(res_and_jac,
+                                  (cam_g, pt_g, params.scales, obs.data))
     # r: [O,R], Jc: [O,R,PC], Jp: [O,R,3], Js: [O,R]
 
     valid = obs.valid

@@ -135,3 +135,21 @@ def test_lm_step_rejects_bad_steps():
     state = LMState(params, jnp.asarray(1.0 / cfg.radius_init), jnp.asarray(jnp.inf))
     state = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o))(state, obs)
     assert float(state.cost) <= float(c0) * (1 + 1e-12)
+
+
+def test_chunked_vmap_matches_vmap(rng):
+    """Slab-evaluated residual/Jacobian path must equal the one-shot vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    from instantsfm_tpu.solve import block_lm
+
+    def fn(a, b):
+        return a * b + jnp.sin(a), (a - b) ** 2
+
+    a = jnp.asarray(rng.standard_normal((103, 3)))
+    b = jnp.asarray(rng.standard_normal((103, 3)))
+    ref = jax.vmap(fn)(a, b)
+    got = block_lm._chunked_vmap(fn, (a, b), chunk=16)   # pads 103 -> 112
+    for r, g in zip(ref, got):
+        assert np.allclose(np.asarray(r), np.asarray(g)), "chunked != vmap"
