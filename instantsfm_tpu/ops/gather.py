@@ -22,9 +22,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import os
+
+# 1 = barrier arrays as-is (default; measurably faster for the rasterizer's
+#     tile gathers), 2 = no barriers (debug escape hatch).
+# NB: optimization_barrier materializes its operands in DEFAULT layouts,
+# which lane-pad small trailing dims (42x memory for [O,3] f32) — so the LM
+# solver uses plain indexing instead of isolate() (perf-neutral there,
+# measured via ISFM_ISOLATE_MODE=2 on bench.py).
+_ISOLATE_MODE = int(os.environ.get("ISFM_ISOLATE_MODE", "1"))
+
+
 def isolate(fn, *operands):
     """Apply ``fn`` to barrier-wrapped operands and barrier the result, so the
     op inside ``fn`` cannot fuse with producers or consumers."""
+    if _ISOLATE_MODE == 2:
+        return fn(*operands)
     ops = jax.lax.optimization_barrier(operands)
     return jax.lax.optimization_barrier(fn(*ops))
 

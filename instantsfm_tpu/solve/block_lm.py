@@ -41,7 +41,6 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from instantsfm_tpu.ops import isolate
 from instantsfm_tpu.solve import robust as robust_mod
 from instantsfm_tpu.solve.pcg import pcg
 
@@ -192,11 +191,11 @@ def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel,
                  axis_name: str = None) -> jnp.ndarray:
     """Robust cost sum_o rho(||r_o||^2) over valid observations."""
-    # isolate(): a gather fused with computed consumers hits XLA's slow
-    # kCustom emitter (~100x; see ops/gather.py)
-    cam_g = jax.tree_util.tree_map(
-        lambda a: isolate(lambda t, i: t[i], a, obs.cam_idx), params.cam)
-    pt_g = isolate(lambda t, i: t[i], params.pts, obs.pt_idx)
+    # plain indexing: barrier-isolated gathers materialize [O,3] operands in
+    # lane-padded default layouts (42x memory; see ops/gather.py) and are
+    # perf-neutral here (measured via ISFM_ISOLATE_MODE=2 on bench.py)
+    cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
+    pt_g = params.pts[obs.pt_idx]
     sc_g = params.scales
     PC = problem.cam_dim
 
@@ -219,11 +218,11 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     (optionally) eliminate per-observation scalars; reduce into U/V/W/g."""
     PC, R = problem.cam_dim, problem.res_dim
     C = _num_cams(params)
-    # isolate(): a gather fused with computed consumers hits XLA's slow
-    # kCustom emitter (~100x; see ops/gather.py)
-    cam_g = jax.tree_util.tree_map(
-        lambda a: isolate(lambda t, i: t[i], a, obs.cam_idx), params.cam)
-    pt_g = isolate(lambda t, i: t[i], params.pts, obs.pt_idx)
+    # plain indexing: barrier-isolated gathers materialize [O,3] operands in
+    # lane-padded default layouts (42x memory; see ops/gather.py) and are
+    # perf-neutral here (measured via ISFM_ISOLATE_MODE=2 on bench.py)
+    cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
+    pt_g = params.pts[obs.pt_idx]
 
     def local_res(deltas, cam_ref, pt_ref, sc_ref, data):
         dc, dp, ds = deltas
@@ -430,7 +429,7 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     else:
         def schur_matvec(x):  # x: [C, PC] replicated
             y = _mv(U_d, x)
-            xg = isolate(lambda t, i: t[i], x, cam_idx)
+            xg = x[cam_idx]
             t = _mtv(W, xg)                                       # [O, 3]
             s_p = _seg_by_pt(t, pt_idx, T, buckets)
             z = _mv(V_inv, s_p)
@@ -453,8 +452,7 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                               max_iters=pcg_iters, tol=pcg_tol)
 
     # back-substitute points: d_pt = V^-1 (g_pt - W^T d_cam)
-    wtd = _seg_by_pt(_mtv(W, isolate(lambda t, i: t[i], d_cam, cam_idx)),
-                     pt_idx, T, buckets)
+    wtd = _seg_by_pt(_mtv(W, d_cam[obs.cam_idx]), pt_idx, T, buckets)
     d_pt = _mv(V_inv, g_pt - wtd)
 
     d_s = _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps)
@@ -466,8 +464,8 @@ def _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps):
         return jnp.zeros((obs.valid.shape[0], 1), d_cam.dtype)
     Hss_d = sys.Hss * (1.0 + lam) + eps
     inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)
-    dc_g = isolate(lambda t, i: t[i], d_cam, obs.cam_idx)
-    dp_g = isolate(lambda t, i: t[i], d_pt, obs.pt_idx)
+    dc_g = d_cam[obs.cam_idx]
+    dp_g = d_pt[obs.pt_idx]
     num = sys.g_s - jnp.sum(sys.Jc_s * dc_g, -1) \
         - jnp.sum(sys.Jp_s * dp_g, -1)
     return (inv_hss * num)[:, None]
