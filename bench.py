@@ -73,7 +73,8 @@ def make_ba(num_cams=200, num_pts=50_000, obs_per_pt=8, seed=0):
         scales=jnp.zeros((O, 1), dtype), scales_free=jnp.zeros(O, bool))
     obs = Observations(cam_idx=jnp.asarray(obs_cam, jnp.int32),
                        pt_idx=jnp.asarray(obs_pt, jnp.int32),
-                       data={"xy": jnp.asarray(xy, dtype)},
+                       data={"x": jnp.asarray(xy[:, 0], dtype),
+                             "y": jnp.asarray(xy[:, 1], dtype)},
                        valid=jnp.asarray(valid))
     return problem, params, obs
 

@@ -75,7 +75,8 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
     obs = Observations(
         cam_idx=jnp.asarray(cam_idx, jnp.int32),
         pt_idx=jnp.asarray(pt_idx, jnp.int32),
-        data={"xy": jnp.asarray(xy, dtype)},
+        data={"x": jnp.asarray(xy[:, 0], dtype),
+              "y": jnp.asarray(xy[:, 1], dtype)},
         valid=jnp.ones(O, bool))
     cfg = LMConfig(max_iterations=int(opts["max_num_iterations"]),
                    function_tolerance=float(opts["function_tolerance"]),

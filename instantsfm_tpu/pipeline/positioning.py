@@ -90,7 +90,10 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
         scales_free=jnp.asarray(scales_free))
     obs = Observations(
         cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
-        data={"t": jnp.asarray(t_obs, dtype), "w": jnp.asarray(w[:, None], dtype)},
+        data={"tx": jnp.asarray(t_obs[:, 0], dtype),
+              "ty": jnp.asarray(t_obs[:, 1], dtype),
+              "tz": jnp.asarray(t_obs[:, 2], dtype),
+              "w": jnp.asarray(w, dtype)},
         valid=jnp.ones(O, bool))
     cfg = LMConfig(max_iterations=int(opts["max_num_iterations"]),
                    function_tolerance=float(opts["function_tolerance"]),

@@ -84,16 +84,21 @@ class Params(NamedTuple):
 
 
 class NormalSystem(NamedTuple):
-    """Undamped normal-equation blocks + robust-weighted residual stats."""
+    """Undamped normal-equation blocks + robust-weighted residual stats.
+
+    Per-observation matrices are stored FLAT (1-D): TPU default layouts
+    lane-pad small trailing dims (42x memory for [O,3] f32), and these
+    arrays cross the reject-loop boundary where XLA materializes them in
+    default layouts.  Consumers reshape on use (free inside fusions)."""
     U: jnp.ndarray        # [C, PC, PC]
     V: jnp.ndarray        # [T, 3, 3]
-    W: jnp.ndarray        # [O, PC, 3]
+    W: jnp.ndarray        # [O*PC*3] flat of [O, PC, 3]
     g_cam: jnp.ndarray    # [C, PC]   (-J^T r, camera part)
     g_pt: jnp.ndarray     # [T, 3]
     # scalar-elimination intermediates (zeros when has_scales=False)
     Hss: jnp.ndarray      # [O] J_s^T J_s (+0 damping; damped at solve time)
-    Jc_s: jnp.ndarray     # [O, PC] J_c^T J_s
-    Jp_s: jnp.ndarray     # [O, 3]  J_p^T J_s
+    Jc_s: jnp.ndarray     # [O*PC] flat of [O, PC]  (J_c^T J_s)
+    Jp_s: jnp.ndarray     # [O*3]  flat of [O, 3]   (J_p^T J_s)
     g_s: jnp.ndarray      # [O] -J_s^T r
     cost: jnp.ndarray     # robust total cost (scalar)
 
@@ -283,9 +288,9 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     V = _seg_by_pt(V_o, obs.pt_idx, num_points, buckets)
     g_pt = _seg_by_pt(gp_o, obs.pt_idx, num_points, buckets)
 
-    return NormalSystem(U=U, V=V, W=W, g_cam=g_cam, g_pt=g_pt,
-                        Hss=Hss, Jc_s=Jc_s, Jp_s=Jp_s, g_s=g_s,
-                        cost=_ar(cost, axis_name))
+    return NormalSystem(U=U, V=V, W=W.reshape(-1), g_cam=g_cam, g_pt=g_pt,
+                        Hss=Hss, Jc_s=Jc_s.reshape(-1), Jp_s=Jp_s.reshape(-1),
+                        g_s=g_s, cost=_ar(cost, axis_name))
 
 
 def _mv(M, v):
@@ -361,6 +366,10 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     PC = problem.cam_dim
     C = sys.U.shape[0]
     T = sys.V.shape[0]
+    O = obs.valid.shape[0]
+    sys = sys._replace(W=sys.W.reshape(O, PC, 3),
+                       Jc_s=sys.Jc_s.reshape(O, PC),
+                       Jp_s=sys.Jp_s.reshape(O, 3))
     if dense_schur is None:
         # dense wins only when the Y scatter stays small (measured on v5e:
         # at T=50k/O=400k the PCG path is ~2.6x faster than dense)

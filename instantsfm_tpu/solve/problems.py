@@ -51,7 +51,7 @@ def make_ba_problem(model_id: int, optimize_poses: bool = True) -> BlockProblem:
             xyz = xyz + jnp.cross(dc[:3], xyz) + dc[3:6]
         params = cam_ref["intr"].at[opt_idx].add(dc[pose_dims:])
         proj = cam_models.img_from_cam(model_id, params, xyz)
-        return proj - obs["xy"]
+        return proj - jnp.stack([obs["x"], obs["y"]])
 
     def retract_cam(cam, delta):
         if optimize_poses:
@@ -68,14 +68,17 @@ def make_ba_problem(model_id: int, optimize_poses: bool = True) -> BlockProblem:
 def make_gp_problem() -> BlockProblem:
     """Global positioning: cam pytree {'c': [C,3]} camera centers.
 
-    obs data: {'t': [O,3] rotated bearing R^T b, 'w': [O] calibrated factor}.
+    obs data: {'tx','ty','tz': [O] rotated bearing R^T b components,
+    'w': [O] calibrated factor} — scalar leaves so no [O, small] arrays
+    cross jit/loop boundaries in lane-padded layouts (see NormalSystem).
     """
 
     def residual_fn(dc, cam_ref, dp, pt_ref, ds, sc_ref, obs):
         c = cam_ref["c"] + dc
         p = pt_ref + dp
         s = sc_ref + ds
-        r = obs["t"] - s * (p - c)
+        t = jnp.stack([obs["tx"], obs["ty"], obs["tz"]])
+        r = t - s * (p - c)
         return r * obs["w"]
 
     def retract_cam(cam, delta):

@@ -44,7 +44,8 @@ def _ba_setup(scene, q_noise=0.05, t_noise=0.2, p_noise=0.3, seed=1):
         scales=jnp.zeros((O, 1)), scales_free=jnp.zeros(O, bool))
     obs = Observations(
         cam_idx=jnp.asarray(scene.obs_cam), pt_idx=jnp.asarray(scene.obs_pt),
-        data={"xy": jnp.asarray(scene.obs_xy)}, valid=jnp.ones(O, bool))
+        data={"x": jnp.asarray(scene.obs_xy[:, 0]),
+              "y": jnp.asarray(scene.obs_xy[:, 1])}, valid=jnp.ones(O, bool))
     return problem, params, obs
 
 
@@ -85,7 +86,8 @@ def test_ba_frozen_poses():
         pts=jnp.asarray(p0), scales=jnp.zeros((O, 1)),
         scales_free=jnp.zeros(O, bool))
     obs = Observations(jnp.asarray(scene.obs_cam), jnp.asarray(scene.obs_pt),
-                       {"xy": jnp.asarray(scene.obs_xy)}, jnp.ones(O, bool))
+                       {"x": jnp.asarray(scene.obs_xy[:, 0]),
+                        "y": jnp.asarray(scene.obs_xy[:, 1])}, jnp.ones(O, bool))
     cfg = LMConfig(max_iterations=20, function_tolerance=1e-12, pcg_iters=50)
     state, history = optimize(problem, robust.trivial(), cfg, params, obs)
     # poses must be untouched
@@ -114,7 +116,8 @@ def test_gp_converges():
         pts=jnp.asarray(scene.points + rng.standard_normal((T, 3)) * 1.0),
         scales=jnp.ones((O, 1)), scales_free=jnp.ones(O, bool))
     obs = Observations(jnp.asarray(scene.obs_cam), jnp.asarray(scene.obs_pt),
-                       {"t": jnp.asarray(t_obs), "w": jnp.ones(O)},
+                       {"tx": jnp.asarray(t_obs[:, 0]), "ty": jnp.asarray(t_obs[:, 1]),
+                        "tz": jnp.asarray(t_obs[:, 2]), "w": jnp.ones(O)},
                        jnp.ones(O, bool))
     cfg = LMConfig(max_iterations=60, function_tolerance=1e-12, pcg_iters=80,
                    radius_init=1e3, radius_max=1e8)

@@ -47,7 +47,7 @@ def test_bucketize_roundtrip(rng):
     pt_idx = np.repeat(np.arange(T), lengths)
     O = len(pt_idx)
     cam_idx = rng.integers(0, 5, O).astype(np.int32)
-    data = {"xy": rng.standard_normal((O, 2))}
+    data = {"x": rng.standard_normal(O), "y": rng.standard_normal(O)}
     valid = rng.uniform(size=O) > 0.1
     bp = bucketize(cam_idx, pt_idx, data, valid, np.ones((O, 1)),
                    np.ones(O, bool), T, track_pad=16)
@@ -60,9 +60,9 @@ def test_bucketize_roundtrip(rng):
         if bp.valid[k]:
             old_pt = slot_to_old[bp.pt_idx[k]]
             got.add((int(bp.cam_idx[k]), int(old_pt),
-                     round(float(bp.data["xy"][k, 0]), 6)))
+                     round(float(bp.data["x"][k]), 6)))
     want = {(int(c), int(p), round(float(x), 6))
-            for c, p, x, v in zip(cam_idx, pt_idx, data["xy"][:, 0], valid)
+            for c, p, x, v in zip(cam_idx, pt_idx, data["x"], valid)
             if v}
     assert got == want
     # bucket ranges tile the arrays; padded slot count covers all points

@@ -109,7 +109,8 @@ def test_pointlocal_sharded_gp_matches_single_device():
         pts=jnp.asarray(scene.points + rng.standard_normal((T, 3)) * 0.5),
         scales=jnp.ones((O, 1)), scales_free=jnp.ones(O, bool))
     obs = Observations(jnp.asarray(scene.obs_cam), jnp.asarray(scene.obs_pt),
-                       {"t": jnp.asarray(t_obs), "w": jnp.ones(O)},
+                       {"tx": jnp.asarray(t_obs[:, 0]), "ty": jnp.asarray(t_obs[:, 1]),
+                        "tz": jnp.asarray(t_obs[:, 2]), "w": jnp.ones(O)},
                        jnp.ones(O, bool))
     kernel = robust.huber(0.1)
     cfg = LMConfig(max_iterations=5, pcg_iters=60, solver="pcg",
