@@ -81,6 +81,8 @@ def make_ba(num_cams=200, num_pts=50_000, obs_per_pt=8, seed=0):
 
 def main():
     import jax
+    from instantsfm_tpu import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
     from instantsfm_tpu.solve import robust

@@ -83,20 +83,21 @@ def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
         for i in range(num_cams):
             for dj in range(1, window + 1):
                 j = (i + dj) % num_cams
-                if j < i:
-                    continue   # ring wrap handled once
-                shared = np.nonzero((feat_of_pt[i] >= 0)
-                                    & (feat_of_pt[j] >= 0))[0]
+                # ring wrap: emit (j, i) ordered so every ring edge appears
+                # exactly once (j < i happens only on wrapped pairs)
+                a, b = (j, i) if j < i else (i, j)
+                shared = np.nonzero((feat_of_pt[a] >= 0)
+                                    & (feat_of_pt[b] >= 0))[0]
                 if len(shared) < 30:
                     continue
-                m = np.stack([feat_of_pt[i][shared],
-                              feat_of_pt[j][shared]], 1)
+                m = np.stack([feat_of_pt[a][shared],
+                              feat_of_pt[b][shared]], 1)
                 n_out = int(outlier_frac * len(m))
                 if n_out:
                     sel = rng.choice(len(m), n_out, replace=False)
-                    m[sel, 1] = rng.integers(0, len(kp[j]), n_out)
-                db.add_matches(img_ids[i], img_ids[j], m)
-                db.add_two_view_geometry(img_ids[i], img_ids[j], m,
+                    m[sel, 1] = rng.integers(0, len(kp[b]), n_out)
+                db.add_matches(img_ids[a], img_ids[b], m)
+                db.add_two_view_geometry(img_ids[a], img_ids[b], m,
                                          config=CONFIG_CALIBRATED)
                 n_pairs += 1; n_matches += len(m)
         db.set_feature_name("colmap")
@@ -114,6 +115,10 @@ def main():
               f"({n_pairs} pairs, {n_matches} matches)", file=sys.stderr)
 
     import jax
+
+    from instantsfm_tpu import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
     from instantsfm_tpu.config import Config

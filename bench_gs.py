@@ -23,6 +23,8 @@ import numpy as np
 
 def main():
     import jax
+    from instantsfm_tpu import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
     import optax
 

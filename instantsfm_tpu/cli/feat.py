@@ -19,6 +19,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+
+    from instantsfm_tpu import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

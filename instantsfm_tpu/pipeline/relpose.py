@@ -120,7 +120,11 @@ def _score_best(err_fn, cand, cok, x1, x2, valid, thresh_sq, score_chunk: int):
     Returns (best_model [P,3,3], best_cnt [P])."""
     P, N = cok.shape
     M = x1.shape[1]
-    if M >= 2 * _PRESCORE_SUBSET and N > 4 * _PRESCORE_TOPK:
+    # survivor count scales with the hypothesis pool so clustered outliers /
+    # near-tied hypotheses are unlikely to drop the true best model on the
+    # subset pass (at N=1024 keeps 64, never fewer than _PRESCORE_TOPK)
+    topk = max(_PRESCORE_TOPK, N // 16)
+    if M >= 2 * _PRESCORE_SUBSET and N > 4 * topk:
         stride = M // _PRESCORE_SUBSET
         sub = jnp.arange(_PRESCORE_SUBSET) * stride
         cnt_sub = _score_counts(err_fn, cand, cok, _subsample_cols(x1, sub),
@@ -128,10 +132,10 @@ def _score_best(err_fn, cand, cok, x1, x2, valid, thresh_sq, score_chunk: int):
                                 _subsample_cols(valid, sub), thresh_sq,
                                 min(score_chunk * max(M // _PRESCORE_SUBSET, 1),
                                     N))
-        _, top = jax.lax.top_k(cnt_sub, _PRESCORE_TOPK)          # [P, K]
+        _, top = jax.lax.top_k(cnt_sub, topk)                    # [P, K]
         cand = jnp.take_along_axis(cand, top[:, :, None, None], axis=1)
         cok = jnp.take_along_axis(cok, top, axis=1)
-        N = _PRESCORE_TOPK
+        N = topk
         score_chunk = min(score_chunk, N)
     pad = (-N) % score_chunk
     if pad:

@@ -574,12 +574,15 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     w = cfg.window_size
 
     def _converged():
-        # loss plateau: break immediately (reference bundle_adjustment.py:140
-        # breaks on equal consecutive losses without waiting for the window)
-        if len(history) >= 2 and history[-1] == history[-2]:
-            return True
         if len(history) < 2 * w:
             return False
+        # loss plateau after the warm-up window: the reference
+        # (bundle_adjustment.py:134-141) only treats equal consecutive losses
+        # as "linear solver failed" once 2*window_size iterations have run —
+        # breaking earlier would abort solves where a single rejected step
+        # reproduces the cost bitwise while damping is still recovering.
+        if history[-1] == history[-2]:
+            return True
         recent = np.mean(history[-w:])
         prev = np.mean(history[-2 * w:-w])
         return prev > 0 and abs((prev - recent) / prev) < cfg.function_tolerance

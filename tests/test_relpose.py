@@ -234,3 +234,52 @@ def test_full_relpose_stage_estimation_cap(rng, monkeypatch):
     assert len(est_inl) == len(gt_inlier)          # full-size masks
     assert est_inl[gt_inlier].mean() > 0.85
     assert est_inl[~gt_inlier].mean() < 0.1
+
+
+def test_prescore_branch_matches_exhaustive(rng):
+    """The preemptive two-stage scorer (subset pass -> top-K full pass) must
+    pick a model whose full inlier count matches the exhaustive scorer's
+    best, even with clustered outliers concentrated in one stretch of the
+    match array (the case a strided subset is most likely to mis-rank)."""
+    from instantsfm_tpu.math import epipolar
+    from instantsfm_tpu.pipeline import relpose as rp
+
+    P, N, M = 2, 128, 640                     # N > 4*topk, M >= 2*subset
+    # ground-truth two-view geometry
+    params, xy1, xy2, R_rel, t_rel, gt_inlier = _two_view_scene(
+        rng, noise_px=0.3, outlier_frac=0.0, n_pts=M)
+    f, cx, cy = params[0], params[1], params[2]
+    x1 = np.stack([(xy1 - [cx, cy]) / f] * P)   # [P, M, 2] normalized coords
+    x2 = np.stack([(xy2 - [cx, cy]) / f] * P)
+    # clustered outliers: corrupt a contiguous third of pair 1's matches
+    x2[1, : M // 3] = 0.5 * rng.standard_normal((M // 3, 2))
+    valid = np.ones((P, M), bool)
+
+    # candidate pool: perturbed copies of the true E
+    tx = np.array([[0, -t_rel[2], t_rel[1]],
+                   [t_rel[2], 0, -t_rel[0]],
+                   [-t_rel[1], t_rel[0], 0]])
+    E_true = tx @ R_rel
+    E_true /= np.linalg.norm(E_true)
+    cand = np.tile(E_true, (P, N, 1, 1))
+    scales = rng.uniform(0.0, 0.5, (P, N, 1, 1))
+    cand = cand + scales * rng.standard_normal((P, N, 3, 3))
+    cok = np.ones((P, N), bool)
+    thresh_sq = 4e-6                            # ~1px at f=500
+
+    args = (epipolar.sampson_error, jnp.asarray(cand), jnp.asarray(cok),
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid), thresh_sq)
+    # sanity: parameters actually trigger the prescore branch
+    topk = max(rp._PRESCORE_TOPK, N // 16)
+    assert M >= 2 * rp._PRESCORE_SUBSET and N > 4 * topk
+
+    best_E, best_cnt = rp._score_best(*args, score_chunk=32)
+    cnt_all = np.asarray(rp._score_counts(*args, score_chunk=32))
+    exhaustive_best = cnt_all.max(axis=1)
+
+    best_cnt = np.asarray(best_cnt)
+    # the prescore winner's FULL count must match the exhaustive best
+    # (allow a 2% slack: a near-tied survivor is acceptable, a dropped
+    # best model is not)
+    assert (best_cnt >= 0.98 * exhaustive_best).all(), (
+        f"prescore {best_cnt} vs exhaustive {exhaustive_best}")
