@@ -241,17 +241,21 @@ def shard_problem_pointlocal(mesh: Mesh, params: Params, obs: Observations,
 
 def make_pointlocal_lm_step(mesh: Mesh, problem, kernel: robust.RobustKernel,
                             cfg: LMConfig, template_state: LMState,
-                            template_obs: Observations, axis: str = "obs"):
+                            template_obs: Observations, axis: str = "obs",
+                            buckets: tuple = ()):
     """shard_map LM step with shard-local landmark elimination.
 
     Point blocks (V, g_pt, back-substitution) never cross devices; camera
-    reductions and the cost are psum'd inside ``block_lm`` (axis_name)."""
+    reductions and the cost are psum'd inside ``block_lm`` (axis_name).
+    ``buckets`` is the PER-DEVICE bucket tuple (identical on every device —
+    SPMD requires one static program; see ``partition_bucketed``)."""
     import dataclasses
     cfg = dataclasses.replace(cfg, solver="pcg")
     state_spec, obs_spec = _specs(template_state, template_obs, axis)
 
     def step(state: LMState, obs: Observations) -> LMState:
-        return lm_step(problem, kernel, cfg, state, obs, axis_name=axis)
+        return lm_step(problem, kernel, cfg, state, obs, axis_name=axis,
+                       buckets=buckets)
 
     try:
         fn = jax.shard_map(step, mesh=mesh, in_specs=(state_spec, obs_spec),
@@ -261,3 +265,120 @@ def make_pointlocal_lm_step(mesh: Mesh, problem, kernel: robust.RobustKernel,
         fn = _sm(step, mesh=mesh, in_specs=(state_spec, obs_spec),
                  out_specs=state_spec, check_rep=False)
     return jax.jit(fn)
+
+
+# ------------------------------------------- production pipeline entry point
+#
+# The reference's production solves run as ONE fused GPU batch
+# (processors/bundle_adjustment.py:115-141).  Here the production analog is:
+# bucketize the track layout (solve/blocked.py), split every bucket's track
+# rows evenly across the mesh (points stay with their observations, so
+# landmark elimination is shard-local), and drive the shard_map LM step with
+# the same host convergence loop as the single-device path.
+
+
+class BucketPartition(NamedTuple):
+    """Maps the partitioned layout back to the global bucketized layout."""
+    pt_take: np.ndarray       # [D*localT] global bucket-slot of each local pt
+    obs_take: np.ndarray      # [D*localO] global bucket-row of each local obs
+    local_buckets: tuple      # per-device ((obs_start, pt_start, Tb_d, L), ..)
+    local_T: int
+    local_O: int
+
+
+def partition_bucketed(params, obs, buckets: tuple, n_dev: int):
+    """Split a bucketized problem (output of ``bucketize_problem``) into
+    ``n_dev`` point-contiguous shards with IDENTICAL bucket structure.
+
+    Every bucket's padded track count must be divisible by ``n_dev`` (ensured
+    by calling ``bucketize_problem`` with ``track_pad`` a multiple of n_dev).
+    Within a bucket all rows have the same padded length L, so a contiguous
+    split is perfectly balanced: every device gets exactly the same number of
+    observation rows and point slots per bucket."""
+    pt_takes = [[] for _ in range(n_dev)]
+    obs_takes = [[] for _ in range(n_dev)]
+    local_buckets = []
+    lp = lo = 0
+    for (os_, ps, Tb, L) in buckets:
+        assert Tb % n_dev == 0, (Tb, n_dev)
+        Td = Tb // n_dev
+        for d in range(n_dev):
+            pt_takes[d].append(np.arange(ps + d * Td, ps + (d + 1) * Td))
+            obs_takes[d].append(np.arange(os_ + d * Td * L,
+                                          os_ + (d + 1) * Td * L))
+        local_buckets.append((lo, lp, Td, L))
+        lp += Td
+        lo += Td * L
+    pt_take = np.concatenate([np.concatenate(t) for t in pt_takes])
+    obs_take = np.concatenate([np.concatenate(t) for t in obs_takes])
+
+    tree = jax.tree_util.tree_map
+    params_p = Params(
+        cam=params.cam,
+        pts=jnp.asarray(np.asarray(params.pts)[pt_take]),
+        scales=jnp.asarray(np.asarray(params.scales)[obs_take]),
+        scales_free=jnp.asarray(np.asarray(params.scales_free)[obs_take]))
+    # per-device-local point indices: same for every device (tiled)
+    local_pt = np.concatenate([
+        (lb[1] + np.repeat(np.arange(lb[2]), lb[3])).astype(np.int32)
+        for lb in local_buckets])
+    obs_p = Observations(
+        cam_idx=jnp.asarray(np.asarray(obs.cam_idx)[obs_take]),
+        pt_idx=jnp.asarray(np.tile(local_pt, n_dev)),
+        data=tree(lambda a: jnp.asarray(np.asarray(a)[obs_take]), obs.data),
+        valid=jnp.asarray(np.asarray(obs.valid)[obs_take]))
+    meta = BucketPartition(pt_take=pt_take, obs_take=obs_take,
+                           local_buckets=tuple(local_buckets),
+                           local_T=lp, local_O=lo)
+    return params_p, obs_p, meta
+
+
+def optimize_auto(problem, kernel, cfg: LMConfig, params: Params,
+                  obs: Observations, *, verbose: bool = False, callback=None,
+                  track_pad: int = 256, devices=None):
+    """Production LM driver: single-device bucketed solve, or point-local
+    shard_map over all available devices when more than one is present.
+
+    Returns ``(cam_tree, pts, history)`` with points in the ORIGINAL
+    (pre-bucketization) order — callers write back directly.  Opt out of
+    sharding with ISFM_NO_SHARD=1."""
+    import os
+
+    from instantsfm_tpu.solve.blocked import bucketize_problem
+    from instantsfm_tpu.solve.block_lm import optimize
+
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    shard = n_dev > 1 and not os.environ.get("ISFM_NO_SHARD")
+
+    if not shard:
+        params_b, obs_b, buckets, point_slots = bucketize_problem(
+            params, obs, track_pad=track_pad)
+        state, history = optimize(problem, kernel, cfg, params_b, obs_b,
+                                  verbose=verbose, callback=callback,
+                                  buckets=buckets)
+        pts = np.asarray(state.params.pts)[point_slots]
+        return state.params.cam, pts, history
+
+    # multi-chip: bucket track counts padded to a multiple of the device
+    # count so every bucket splits evenly
+    pad = -(-max(track_pad, n_dev) // n_dev) * n_dev
+    params_b, obs_b, buckets, point_slots = bucketize_problem(
+        params, obs, track_pad=pad)
+    mesh = make_mesh(devices)
+    params_p, obs_p, meta = partition_bucketed(params_b, obs_b, buckets,
+                                               n_dev)
+    params_p, obs_p = shard_problem_pointlocal(mesh, params_p, obs_p)
+    state0 = LMState(params_p,
+                     jnp.asarray(1.0 / cfg.radius_init, params_p.pts.dtype),
+                     jnp.asarray(jnp.inf, params_p.pts.dtype))
+    step = make_pointlocal_lm_step(mesh, problem, kernel, cfg, state0, obs_p,
+                                   buckets=meta.local_buckets)
+    state, history = optimize(problem, kernel, cfg, params_p, obs_p,
+                              verbose=verbose, callback=callback,
+                              step_fn=step)
+    # partitioned -> global bucket slots -> original point order
+    pts_b = np.zeros((params_b.pts.shape[0], 3),
+                     np.asarray(state.params.pts).dtype)
+    pts_b[meta.pt_take] = np.asarray(state.params.pts)
+    return state.params.cam, pts_b[point_slots], history

@@ -27,8 +27,7 @@ from instantsfm_tpu.utils.debug import span
 from instantsfm_tpu.scene import cameras as cam_models
 from instantsfm_tpu.scene.types import Cameras, Images, Tracks
 from instantsfm_tpu.solve import robust
-from instantsfm_tpu.solve.block_lm import (LMConfig, Observations, Params,
-                                           optimize)
+from instantsfm_tpu.solve.block_lm import LMConfig, Observations, Params
 from instantsfm_tpu.solve.problems import make_ba_problem
 
 
@@ -83,24 +82,21 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
                    radius_init=1e4, radius_max=1e10)
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
-    from instantsfm_tpu.solve.blocked import bucketize_problem
-    with span("ba bucketize"):
-        params, obs, buckets, point_slots = bucketize_problem(params, obs)
-    from instantsfm_tpu.utils import debug as _dbg0
-    with span("ba optimize"):
-        state, history = optimize(problem, kernel, cfg, params, obs,
-                                  verbose=verbose or _dbg0.ENABLED,
-                                  callback=callback, buckets=buckets)
+    from instantsfm_tpu.parallel.sharded import optimize_auto
     from instantsfm_tpu.utils import debug as _dbg
+    with span("ba optimize"):
+        cam, pts, history = optimize_auto(problem, kernel, cfg, params, obs,
+                                          verbose=verbose or _dbg.ENABLED,
+                                          callback=callback)
     if _dbg.ENABLED:
         print(f"    [t] ba iters: {len(history)}", flush=True)
 
-    # ---- write back (points live in bucket slots)
-    images.qvec[u_img] = np.asarray(state.params.cam["q"], np.float64)
-    images.tvec[u_img] = np.asarray(state.params.cam["t"], np.float64)
-    tracks.xyz[u_trk] = np.asarray(state.params.pts, np.float64)[point_slots]
+    # ---- write back
+    images.qvec[u_img] = np.asarray(cam["q"], np.float64)
+    images.tvec[u_img] = np.asarray(cam["t"], np.float64)
+    tracks.xyz[u_trk] = np.asarray(pts, np.float64)
 
-    intr = np.asarray(state.params.cam["intr"], np.float64)
+    intr = np.asarray(cam["intr"], np.float64)
     cam_of_img = images.cam_idx[u_img]
     for c in np.unique(cam_of_img):
         cameras.params[c] = intr[cam_of_img == c].mean(axis=0)

@@ -26,8 +26,7 @@ import numpy as np
 from instantsfm_tpu.math import lie
 from instantsfm_tpu.scene.types import Cameras, Images, Tracks
 from instantsfm_tpu.solve import robust
-from instantsfm_tpu.solve.block_lm import (LMConfig, Observations, Params,
-                                           optimize)
+from instantsfm_tpu.solve.block_lm import LMConfig, Observations, Params
 from instantsfm_tpu.solve.problems import make_gp_problem
 
 
@@ -100,16 +99,14 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
                    radius_init=1e3, radius_max=1e8)
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
-    from instantsfm_tpu.solve.blocked import bucketize_problem
-    params, obs, buckets, point_slots = bucketize_problem(params, obs)
-    state, history = optimize(problem, kernel, cfg, params, obs,
-                              verbose=verbose, callback=callback,
-                              buckets=buckets)
+    from instantsfm_tpu.parallel.sharded import optimize_auto
+    cam, pts, history = optimize_auto(problem, kernel, cfg, params, obs,
+                                      verbose=verbose, callback=callback)
 
     # ---- write back (ConvertResults: t = -R c, reference :41-43)
-    new_centers = np.asarray(state.params.cam["c"], np.float64)
+    new_centers = np.asarray(cam["c"], np.float64)
     images.tvec[reg_idx] = np.asarray(
         -lie.quat_rotate(jnp.asarray(images.qvec[reg_idx]),
                          jnp.asarray(new_centers)))
-    tracks.xyz = np.array(state.params.pts, np.float64)[point_slots]
+    tracks.xyz = np.array(pts, np.float64)
     return tracks

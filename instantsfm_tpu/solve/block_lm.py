@@ -561,13 +561,19 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
 
 def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
              cfg: LMConfig, params: Params, obs: Observations,
-             verbose: bool = False, callback=None, buckets: tuple = ()):
+             verbose: bool = False, callback=None, buckets: tuple = (),
+             step_fn=None):
     """Host-driven LM loop with the reference's moving-window convergence test
     (``bundle_adjustment.py:128-141``): stop when the relative improvement of
-    the last `window` losses vs the previous window is below tolerance."""
+    the last `window` losses vs the previous window is below tolerance.
+
+    ``step_fn`` overrides the jitted single-device step — the multi-chip path
+    (parallel/sharded.py) passes its shard_map step here so both paths share
+    this convergence loop."""
     import numpy as np
 
-    step = jax.jit(partial(lm_step, problem, kernel, cfg, buckets=buckets))
+    step = step_fn if step_fn is not None else jax.jit(
+        partial(lm_step, problem, kernel, cfg, buckets=buckets))
     state = LMState(params, jnp.asarray(1.0 / cfg.radius_init,
                                         params.pts.dtype), jnp.asarray(jnp.inf))
     history = []
