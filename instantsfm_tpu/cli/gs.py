@@ -37,6 +37,11 @@ def main(argv=None):
     from instantsfm_tpu import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    from instantsfm_tpu.parallel import multihost
+    if multihost.initialize():
+        print(f"[distributed] process {multihost.process_index()}"
+              f"/{multihost.process_count()}, "
+              f"{len(jax.devices())} global devices")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

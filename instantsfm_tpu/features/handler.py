@@ -87,31 +87,54 @@ def generate_database(image_path: str, database_path: str,
     if not names:
         raise FileNotFoundError(f"no images under {image_path}")
 
+    from instantsfm_tpu.parallel import multihost
+
     t0 = time.time()
     cfg = sift.SiftConfig(max_keypoints=max_keypoints)
-    kps, descs, valids, sizes, scales = [], [], [], [], []
-    for n in names:
-        img, scale, (w, h) = _load_gray(os.path.join(image_path, n),
+    # host-sharded extraction: each process loads + extracts a strided slice
+    # of the images, then the padded (kp, desc, valid, size) arrays are
+    # all-gathered so every host holds the full set (SURVEY.md §5 plan)
+    P = multihost.process_count()
+    mine = np.arange(multihost.process_index(), len(names), P)
+    kp_l = np.zeros((len(mine), max_keypoints, 2), np.float32)
+    desc_l = np.zeros((len(mine), max_keypoints, 128), np.float32)
+    valid_l = np.zeros((len(mine), max_keypoints), bool)
+    size_l = np.zeros((len(mine), 2), np.int64)
+    for r, i in enumerate(mine):
+        img, scale, (w, h) = _load_gray(os.path.join(image_path, names[i]),
                                         max_image_size)
         xy, s, ori, d, v = sift.extract(img, cfg)
-        kps.append(xy / scale)
-        descs.append(d)
-        valids.append(v)
-        sizes.append((w, h))
-        scales.append(scale)
+        kp_l[r], desc_l[r], valid_l[r] = xy / scale, d, v
+        size_l[r] = (w, h)
+    if P > 1:
+        kp_a = multihost.gather_pair_results(mine, kp_l, len(names))
+        desc_a = multihost.gather_pair_results(mine, desc_l, len(names))
+        valid_a = multihost.gather_pair_results(mine, valid_l, len(names),
+                                                fill=False)
+        size_a = multihost.gather_pair_results(mine, size_l, len(names))
+    else:
+        kp_a, desc_a, valid_a, size_a = kp_l, desc_l, valid_l, size_l
+    kps = list(kp_a)
+    descs = list(desc_a)
+    valids = list(valid_a)
+    sizes = [tuple(s) for s in size_a]
     log(f"Feature extraction done in {time.time() - t0:.1f}s "
-        f"({len(names)} images)")
+        f"({len(names)} images, {P} process(es))")
 
     if sequential_overlap > 0:
         pairs = [(i, j) for i in range(len(names))
                  for j in range(i + 1, min(i + 1 + sequential_overlap,
                                            len(names)))]
     else:
-        pairs = None
+        pairs = [(i, j) for i in range(len(names))
+                 for j in range(i + 1, len(names))]
     t1 = time.time()
-    all_matches = matching.match_all_pairs(descs, valids, ratio=match_ratio,
-                                           pairs=pairs)
+    all_matches = multihost.match_pairs_distributed(
+        descs, valids, pairs, ratio=match_ratio)
     log(f"Matching done in {time.time() - t1:.1f}s ({len(all_matches)} pairs)")
+
+    if multihost.process_index() != 0:
+        return   # one writer; the db is a host-side artifact
 
     w0, h0 = sizes[0]
     focal = 1.2 * min(w0, h0)

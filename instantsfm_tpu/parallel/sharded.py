@@ -378,7 +378,18 @@ def optimize_auto(problem, kernel, cfg: LMConfig, params: Params,
                               verbose=verbose, callback=callback,
                               step_fn=step)
     # partitioned -> global bucket slots -> original point order
-    pts_b = np.zeros((params_b.pts.shape[0], 3),
-                     np.asarray(state.params.pts).dtype)
-    pts_b[meta.pt_take] = np.asarray(state.params.pts)
-    return state.params.cam, pts_b[point_slots], history
+    pts_part = _fetch_global(state.params.pts)
+    pts_b = np.zeros((params_b.pts.shape[0], 3), pts_part.dtype)
+    pts_b[meta.pt_take] = pts_part
+    cam = jax.tree_util.tree_map(_fetch_global, state.params.cam)
+    return cam, pts_b[point_slots], history
+
+
+def _fetch_global(x) -> np.ndarray:
+    """Read back an array that may span non-addressable devices
+    (multi-process mesh): allgather the process-local shards first."""
+    try:
+        return np.asarray(x)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))

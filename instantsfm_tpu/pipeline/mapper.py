@@ -30,11 +30,43 @@ def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
                         images: Images, config: Config,
                         depths_available: bool = False, visualizer=None,
                         dtype=jnp.float64, log=print):
+    """Run the full global-SfM stage sequence.
+
+    Set ``ISFM_PROFILE=<dir>`` to capture a ``jax.profiler`` trace of the
+    whole run with one named ``TraceAnnotation`` span per stage (view it
+    with tensorboard / xprof; SURVEY.md §5 tracing plan)."""
+    import os
+
+    profile_dir = os.environ.get("ISFM_PROFILE")
+    if profile_dir:
+        import contextlib
+
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            return _solve_impl(view_graph, cameras, images, config,
+                               depths_available, visualizer, dtype, log,
+                               annotate=jax.profiler.TraceAnnotation)
+    return _solve_impl(view_graph, cameras, images, config,
+                       depths_available, visualizer, dtype, log)
+
+
+def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
+                images: Images, config: Config,
+                depths_available: bool = False, visualizer=None,
+                dtype=jnp.float64, log=print, annotate=None):
     opts = config.OPTIONS
     tracks = Tracks.empty()
     timings = {}
+    _span = [None]   # open TraceAnnotation for the current stage
 
     def _stage(name):
+        if _span[0] is not None:
+            _span[0].__exit__(None, None, None)
+            _span[0] = None
+        if annotate is not None:
+            _span[0] = annotate(f"stage:{name}")
+            _span[0].__enter__()
         log("-------------------------------------")
         log(f"Running {name} ...")
         log("-------------------------------------")
@@ -160,6 +192,9 @@ def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
         pruning.prune_weakly_connected_images(images, tracks, log=log)
         timings["pruning"] = time.time() - t0
 
+    if _span[0] is not None:
+        _span[0].__exit__(None, None, None)
+        _span[0] = None
     for name, dt in timings.items():
         log(f"{name} took: {dt:.2f}s")
     return cameras, images, tracks, timings

@@ -122,8 +122,9 @@ def _score_best(err_fn, cand, cok, x1, x2, valid, thresh_sq, score_chunk: int):
     M = x1.shape[1]
     # survivor count scales with the hypothesis pool so clustered outliers /
     # near-tied hypotheses are unlikely to drop the true best model on the
-    # subset pass (at N=1024 keeps 64, never fewer than _PRESCORE_TOPK)
-    topk = max(_PRESCORE_TOPK, N // 16)
+    # subset pass; capped at 4x the base so the full-scoring pass stays cheap
+    # for the 5-point path's slot-expanded pools (num_hyps x 14 candidates)
+    topk = min(4 * _PRESCORE_TOPK, max(_PRESCORE_TOPK, N // 64))
     if M >= 2 * _PRESCORE_SUBSET and N > 4 * topk:
         stride = M // _PRESCORE_SUBSET
         sub = jnp.arange(_PRESCORE_SUBSET) * stride
