@@ -54,11 +54,15 @@ def _load_gray(path, max_size):
 def generate_database(image_path: str, database_path: str,
                       feature_name: str = "sift_tpu", config=None,
                       max_image_size: int = 1600, max_keypoints: int = 4096,
-                      match_ratio: float = 0.85, min_num_matches: int = None,
+                      match_ratio: float = None, min_num_matches: int = None,
                       sequential_overlap: int = 0, log=print) -> None:
     """Extract + match + write database.  ``sequential_overlap`` > 0 switches
     from exhaustive to sequential matching (reference's matcher choice,
-    ``feature_handler.py:29-31``)."""
+    ``feature_handler.py:29-31``).
+
+    Front-ends: ``sift_tpu`` (native DoG-SIFT, default), ``superpoint``
+    (learned, weight-gated — reference ``feature_handler.py:155-293``),
+    ``colmap`` (binary passthrough)."""
     if feature_name == "colmap":
         # passthrough to an installed COLMAP binary, like the reference's
         # default front-end (``feature_handler.py:12-42``)
@@ -82,12 +86,30 @@ def generate_database(image_path: str, database_path: str,
         min_num_matches = (config.FEATURE_HANDLER_OPTIONS["min_num_matches"]
                            if config is not None else 30)
 
+    from instantsfm_tpu.parallel import multihost
+
+    use_sp = feature_name in ("superpoint", "superpoint_tpu")
+    if use_sp:
+        from instantsfm_tpu.features import superpoint as sp
+        sp_weights = sp.try_load_default()
+        if sp_weights is None:
+            raise RuntimeError(
+                "feature_name='superpoint' needs pretrained weights at "
+                f"{sp.default_weights_path()} — convert the public "
+                "superpoint_v1.pth once with "
+                "features.superpoint.convert_torch_checkpoint(pth) on a "
+                "machine that has it (no egress here)")
+        sp_cfg = sp.SuperPointConfig(max_keypoints=max_keypoints)
+        desc_dim = sp.DESC_DIM
+    else:
+        desc_dim = 128
+
     names = sorted(n for n in os.listdir(image_path)
                    if n.lower().endswith(_IMG_EXTS))
     if not names:
         raise FileNotFoundError(f"no images under {image_path}")
-
-    from instantsfm_tpu.parallel import multihost
+    if match_ratio is None:
+        match_ratio = 0.95 if use_sp else 0.85   # SP: near-MNN pairing
 
     t0 = time.time()
     cfg = sift.SiftConfig(max_keypoints=max_keypoints)
@@ -97,13 +119,16 @@ def generate_database(image_path: str, database_path: str,
     P = multihost.process_count()
     mine = np.arange(multihost.process_index(), len(names), P)
     kp_l = np.zeros((len(mine), max_keypoints, 2), np.float32)
-    desc_l = np.zeros((len(mine), max_keypoints, 128), np.float32)
+    desc_l = np.zeros((len(mine), max_keypoints, desc_dim), np.float32)
     valid_l = np.zeros((len(mine), max_keypoints), bool)
     size_l = np.zeros((len(mine), 2), np.int64)
     for r, i in enumerate(mine):
         img, scale, (w, h) = _load_gray(os.path.join(image_path, names[i]),
                                         max_image_size)
-        xy, s, ori, d, v = sift.extract(img, cfg)
+        if use_sp:
+            xy, s, d, v = sp.extract(img, sp_weights, sp_cfg)
+        else:
+            xy, s, ori, d, v = sift.extract(img, cfg)
         kp_l[r], desc_l[r], valid_l[r] = xy / scale, d, v
         size_l[r] = (w, h)
     if P > 1:
@@ -150,8 +175,10 @@ def generate_database(image_path: str, database_path: str,
             img_ids.append(iid)
             v = valids[i]
             db.add_keypoints(iid, kps[i][v])
-            db.add_descriptors(iid, np.clip(descs[i][v] * 512, 0,
-                                            255).astype(np.uint8))
+            # uint8 quantization for storage only (matching ran on floats):
+            # SIFT descriptors live in [0, ~0.5], SuperPoint's in [-1, 1]
+            d8 = (descs[i][v] * 128 + 128) if use_sp else descs[i][v] * 512
+            db.add_descriptors(iid, np.clip(d8, 0, 255).astype(np.uint8))
         # valid-compacted keypoint indices
         remap = []
         for v in valids:
