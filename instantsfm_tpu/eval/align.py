@@ -54,55 +54,93 @@ def rotation_angles_deg(R_est, R_gt):
 
 
 def relative_pose_errors_deg(q_est, t_est, q_gt, t_gt, registered,
-                             max_pairs: int = 200000, seed: int = 0):
-    """max(rotation, translation-direction) angular error over sampled image
-    pairs; unregistered images contribute 180° (reference
-    ``evaluation/utils.py:597-680``).  q: world->cam xyzw; t: world->cam."""
+                             max_pairs: int = 500000, seed: int = 0,
+                             min_proj_center_dist: float = 0.0):
+    """Relative pose errors over ORDERED GT image pairs with the reference's
+    exact semantics (``evaluation/utils.py:597-680``):
+
+    * per registered pair (i, j), i != j:
+      dt = angle(t_rel_est, t_rel_gt) of ``other_from_this`` (signed cosine —
+      a flipped direction is a 180-degree error), set to 0 when
+      ``||t_rel_gt|| < min_proj_center_dist`` (near-coincident centers make
+      the direction unstable; the reference passes the GT position accuracy);
+      dR = geodesic angle between the relative rotations;
+    * an unregistered image contributes (dt=inf, dR=180) for EVERY ordered
+      pair it appears in — so the combined error max(dt, dR) is +inf, a
+      super-linear AUC penalty (reference docstring, utils.py:604-615);
+    * returns max(dt, dR) per ordered pair — N(N-1) entries (or a seeded
+      sample of ``max_pairs`` of them for very large N).
+
+    q: world->cam xyzw; t: world->cam.
+    """
     import jax.numpy as jnp
 
     from instantsfm_tpu.math import lie
 
     n = len(q_est)
-    ii, jj = np.triu_indices(n, k=1)
+    grid = np.mgrid[0:n, 0:n].reshape(2, -1)
+    keep = grid[0] != grid[1]
+    ii, jj = grid[0][keep], grid[1][keep]           # ordered pairs
     if len(ii) > max_pairs:
         sel = np.random.default_rng(seed).choice(len(ii), max_pairs, False)
         ii, jj = ii[sel], jj[sel]
 
     def rel(q, t, i, j):
+        """other_from_this: R = R_j R_i^T, t = t_j - R t_i."""
         qi, qj = jnp.asarray(q[i]), jnp.asarray(q[j])
         q_rel = lie.quat_mul(qj, lie.quat_conj(qi))
-        ci = lie.camera_center(jnp.asarray(q[i]), jnp.asarray(t[i]))
-        cj = lie.camera_center(jnp.asarray(q[j]), jnp.asarray(t[j]))
-        t_rel = lie.quat_rotate(qj, cj - ci)  # direction in frame j (up to sign conv)
+        t_rel = jnp.asarray(t[j]) - lie.quat_rotate(q_rel, jnp.asarray(t[i]))
         return np.asarray(q_rel), np.asarray(t_rel)
 
     qr_e, tr_e = rel(q_est, t_est, ii, jj)
     qr_g, tr_g = rel(q_gt, t_gt, ii, jj)
 
-    import jax.numpy as jnp2
     rot_err = np.rad2deg(np.asarray(lie.rotation_geodesic_angle(
-        jnp2.asarray(qr_e), jnp2.asarray(qr_g))))
+        jnp.asarray(qr_e), jnp.asarray(qr_g))))
     ne = np.linalg.norm(tr_e, axis=-1)
     ng = np.linalg.norm(tr_g, axis=-1)
+    # signed cosine (utils.py:583-585): direction flips score as ~180 deg
     cos = np.einsum("nd,nd->n", tr_e, tr_g) / np.maximum(ne * ng, 1e-12)
-    tr_err = np.rad2deg(np.arccos(np.clip(np.abs(cos), 0, 1)))
-    tr_err = np.where((ne < 1e-9) | (ng < 1e-9), 0.0, tr_err)
+    tr_err = np.rad2deg(np.arccos(np.clip(cos, -1.0, 1.0)))
+    # near-coincident GT centers: rotation-only error (utils.py:659-668)
+    tr_err = np.where(ng < max(min_proj_center_dist, 1e-12), 0.0, tr_err)
 
     err = np.maximum(rot_err, tr_err)
     bad = ~registered[ii] | ~registered[jj]
-    return np.where(bad, 180.0, err)
+    return np.where(bad, np.inf, err)   # max(inf, 180) per the reference
 
 
-def auc(errors: np.ndarray, thresholds) -> list:
-    """Pose AUC at thresholds (reference ``evaluation/utils.py:719-750``)."""
-    errors = np.sort(np.asarray(errors))
-    recall = (np.arange(len(errors)) + 1) / len(errors)
-    errors = np.concatenate([[0.0], errors])
-    recall = np.concatenate([[0.0], recall])
+def auc(errors: np.ndarray, thresholds, min_error: float = 0.0) -> list:
+    """Pose AUC at thresholds, returned as recall-fractions in [0, 1]
+    (reference ``evaluation/utils.py:719-750``, minus its final x100/1.1
+    display scaling — apply ``REFERENCE_AUC_SCALE`` to compare against
+    reference-reported numbers).
+
+    ``min_error`` clamps the recall curve below the GT accuracy: errors
+    smaller than the GT's own position accuracy are indistinguishable from
+    perfect, so recall is held flat there (utils.py:731-737)."""
+    errors = np.sort(np.asarray(errors, np.float64))
+    num = len(errors)
+    if num == 0:
+        raise ValueError("no errors to evaluate")
+    recall = (np.arange(num) + 1) / num
+    if min_error > 0:
+        min_index = np.searchsorted(errors, min_error, side="right")
+        min_score = min_index / num
+        recall = np.r_[min_score, min_score, recall[min_index:]]
+        errors = np.r_[0.0, min_error, errors[min_index:]]
+    else:
+        recall = np.r_[0.0, recall]
+        errors = np.r_[0.0, errors]
     out = []
     for th in thresholds:
-        last = np.searchsorted(errors, th)
-        r = np.concatenate([recall[:last], [recall[min(last, len(recall)) - 1]]])
-        e = np.concatenate([errors[:last], [th]])
+        last = np.searchsorted(errors, th, side="right")
+        r = np.r_[recall[:last], recall[last - 1]]
+        e = np.r_[errors[:last], th]
         out.append(float(np.trapezoid(r, x=e) / th))
     return out
+
+
+# the reference reports compute_auc(...) * 100 / 1.1 (utils.py:750) —
+# a display-scale quirk kept out of the fraction-valued ``auc`` above
+REFERENCE_AUC_SCALE = 100.0 / 1.1

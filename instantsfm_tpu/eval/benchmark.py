@@ -25,13 +25,15 @@ from __future__ import annotations
 import csv
 import json
 import os
-from dataclasses import dataclass, field
+
 from typing import Dict, List, Optional
 
 import numpy as np
 
-from instantsfm_tpu.eval.align import (absolute_translation_errors, auc,
+from instantsfm_tpu.eval.align import (REFERENCE_AUC_SCALE,
+                                       absolute_translation_errors, auc,
                                        relative_pose_errors_deg, umeyama)
+from instantsfm_tpu.eval.datasets import LAYOUTS, SceneInfo
 from instantsfm_tpu.io import colmap_model as cmio
 
 REL_THRESHOLDS_DEG = (1.0, 3.0, 5.0, 10.0)
@@ -41,41 +43,40 @@ METHOD_FOLDERS = {"colmap": "sparse_colmap", "glomap": "sparse_glomap",
                   "instantsfm": "sparse"}
 
 
-@dataclass
-class DatasetInfo:
-    name: str
-    scenes: List[str]
-    gt_accuracy_m: float
-
-
-DATASETS = {
-    "eth3d": DatasetInfo("eth3d", [
-        "courtyard", "delivery_area", "electro", "facade", "kicker", "meadow",
-        "office", "pipes", "playground", "relief", "relief_2", "terrace",
-        "terrains"], 0.001),
-    "tt": DatasetInfo("tt", [
-        "Barn", "Caterpillar", "Church", "Courthouse", "Ignatius",
-        "Meetingroom", "Truck"], 0.01),
-    "dtu": DatasetInfo("dtu", [f"scan{i}" for i in (
-        1, 4, 9, 10, 11, 12, 13, 15, 23, 24)], 0.002),
-    "blended_mvs": DatasetInfo("blended_mvs", [], 0.01),
-    "imc": DatasetInfo("imc", [], 0.005),
-}
-
-
 def _load_poses(sparse_dir: str):
-    """-> dict name -> (qvec_xyzw, tvec) world->cam."""
-    _, images, _ = cmio.read_model(sparse_dir)
+    """-> dict name -> (qvec_xyzw, tvec) world->cam.
+
+    A method folder may contain several numbered component sub-models
+    (``sparse/0``, ``sparse/1``, ...): they are merged with first-occurrence-
+    wins, matching the reference's merged-reconstruction scoring
+    (``evaluation/utils.py:410-452``)."""
+    roots = [sparse_dir]
+    subs = sorted(d for d in (os.listdir(sparse_dir)
+                              if os.path.isdir(sparse_dir) else [])
+                  if os.path.isdir(os.path.join(sparse_dir, d)))
+    if subs and not (os.path.exists(os.path.join(sparse_dir, "images.bin"))
+                     or os.path.exists(os.path.join(sparse_dir,
+                                                    "images.txt"))):
+        roots = [os.path.join(sparse_dir, d) for d in subs]
     out = {}
-    for im in images.values():
-        w, x, y, z = im.qvec_wxyz
-        out[im.name] = (np.array([x, y, z, w]), np.asarray(im.tvec))
+    for root in roots:
+        _, images, _ = cmio.read_model(root)
+        for im in images.values():
+            name = im.name.split("/")[-1]
+            if name in out:
+                continue
+            w, x, y, z = im.qvec_wxyz
+            out[name] = (np.array([x, y, z, w]), np.asarray(im.tvec))
     return out
 
 
 def evaluate_scene(gt_sparse: str, est_sparse: str,
-                   max_pairs: int = 100000) -> dict:
-    """Pose AUC for one (GT model, estimated model) pair."""
+                   max_pairs: int = 500000,
+                   gt_accuracy_m: float = 0.0) -> dict:
+    """Pose AUC for one (GT model, estimated model) pair, with the
+    reference's GT-accuracy handling: near-coincident GT centers score
+    rotation-only relative error, and the recall curve is clamped below the
+    GT's own accuracy (``evaluation/utils.py:457,522,538``)."""
     gt = _load_poses(gt_sparse)
     est = _load_poses(est_sparse)
     names = sorted(gt.keys())
@@ -88,8 +89,9 @@ def evaluate_scene(gt_sparse: str, est_sparse: str,
     t_est = np.stack([est[k][1] if k in est else np.zeros(3) for k in names])
 
     rel_err = relative_pose_errors_deg(q_est, t_est, q_gt, t_gt, registered,
-                                       max_pairs=max_pairs)
-    rel_auc = auc(rel_err, REL_THRESHOLDS_DEG)
+                                       max_pairs=max_pairs,
+                                       min_proj_center_dist=gt_accuracy_m)
+    rel_auc = auc(rel_err, REL_THRESHOLDS_DEG, min_error=gt_accuracy_m)
 
     # absolute errors on registered subset after similarity alignment
     from instantsfm_tpu.math import lie
@@ -103,11 +105,13 @@ def evaluate_scene(gt_sparse: str, est_sparse: str,
         abs_err[registered] = ate
     else:
         abs_err = np.full(n, np.inf)
-    abs_auc = auc(abs_err, ABS_THRESHOLDS_M)
+    abs_auc = auc(abs_err, ABS_THRESHOLDS_M, min_error=gt_accuracy_m)
 
     return {
         "num_images": n,
         "num_registered": int(registered.sum()),
+        # fractions in [0, 1]; multiply by align.REFERENCE_AUC_SCALE to
+        # compare with reference-reported tables (its x100/1.1 display scale)
         "rel_auc": dict(zip([f"{t:g}deg" for t in REL_THRESHOLDS_DEG],
                             rel_auc)),
         "abs_auc": dict(zip([f"{t:g}m" for t in ABS_THRESHOLDS_M], abs_auc)),
@@ -118,38 +122,45 @@ def evaluate_scene(gt_sparse: str, est_sparse: str,
 
 
 def process_scene(scene_dir: str, gt_subdir: str = "sparse_gt",
-                  methods: Optional[List[str]] = None) -> dict:
+                  methods: Optional[List[str]] = None,
+                  gt_accuracy_m: float = 0.0) -> dict:
     """Evaluate all present method folders of one scene against its GT."""
     methods = methods or list(METHOD_FOLDERS)
-    gt_sparse = os.path.join(scene_dir, gt_subdir)
+    gt_sparse = os.path.join(scene_dir, gt_subdir) \
+        if not os.path.isabs(gt_subdir) else gt_subdir
     if os.path.exists(os.path.join(gt_sparse, "0")):
         gt_sparse = os.path.join(gt_sparse, "0")
     results = {}
     for m in methods:
         folder = os.path.join(scene_dir, METHOD_FOLDERS[m])
-        if os.path.exists(os.path.join(folder, "0")):
-            folder = os.path.join(folder, "0")
         if not os.path.exists(folder):
             continue
-        results[m] = evaluate_scene(gt_sparse, folder)
+        results[m] = evaluate_scene(gt_sparse, folder,
+                                    gt_accuracy_m=gt_accuracy_m)
     return results
 
 
 def evaluate_dataset(root: str, dataset: str = "eth3d",
-                     methods: Optional[List[str]] = None, log=print) -> dict:
-    info = DATASETS[dataset]
-    scenes = info.scenes or sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+                     methods: Optional[List[str]] = None,
+                     categories: Optional[List[str]] = None,
+                     scenes: Optional[List[str]] = None, log=print) -> dict:
+    """Walk a real benchmark dataset directory (``root`` contains
+    ``<dataset>/<category>/<scene>/...``, the layout the reference's
+    downloader produces — see eval/datasets.py), building GT models from
+    native formats where needed, and score every method folder."""
+    layout = LAYOUTS[dataset]
+    infos = layout.list_scenes(root, categories=categories, scenes=scenes)
     all_results = {}
-    for scene in scenes:
-        sd = os.path.join(root, scene)
-        if not os.path.isdir(sd):
-            continue
+    for info in infos:
+        key = f"{info.category}/{info.scene}"
         try:
-            all_results[scene] = process_scene(sd, methods=methods)
-            log(f"{scene}: {json.dumps(all_results[scene])}")
+            layout.prepare_scene(info)
+            all_results[key] = process_scene(
+                info.scene_path, gt_subdir=info.sparse_gt_path,
+                methods=methods, gt_accuracy_m=layout.position_accuracy_gt)
+            log(f"{key}: {json.dumps(all_results[key])}")
         except FileNotFoundError as e:
-            log(f"{scene}: skipped ({e})")
+            log(f"{key}: skipped ({e})")
     return all_results
 
 
@@ -205,12 +216,16 @@ def compare_reports(csv_a: str, csv_b: str, log=print) -> dict:
 def main(argv=None):
     import argparse
     parser = argparse.ArgumentParser()
-    parser.add_argument("--root", required=True)
-    parser.add_argument("--dataset", default="eth3d", choices=list(DATASETS))
+    parser.add_argument("--root", required=True,
+                        help="data dir containing <dataset>/<category>/<scene>")
+    parser.add_argument("--dataset", default="eth3d", choices=list(LAYOUTS))
     parser.add_argument("--methods", nargs="*", default=None)
+    parser.add_argument("--categories", nargs="*", default=None)
+    parser.add_argument("--scenes", nargs="*", default=None)
     parser.add_argument("--out", default="report.csv")
     args = parser.parse_args(argv)
-    results = evaluate_dataset(args.root, args.dataset, args.methods)
+    results = evaluate_dataset(args.root, args.dataset, args.methods,
+                               categories=args.categories, scenes=args.scenes)
     write_report(results, args.out)
     return 0
 
