@@ -27,6 +27,11 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None, help="eval-only from ckpt")
     parser.add_argument("--platform", default=None)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--visible_adam", action="store_true",
+                        help="SelectiveAdam analog: update only visible gaussians")
+    parser.add_argument("--compression", default=None,
+                        choices=["png"],
+                        help="compress the model at eval steps")
     parser.add_argument("--distributed", action="store_true",
                         help="gaussian-sharded rendering over all devices "
                              "(gsplat distributed / DDP analog)")
@@ -57,6 +62,7 @@ def main(argv=None):
         opacity_reg=0.01 if args.preset == "mcmc" else 0.0,
         scale_reg=0.01 if args.preset == "mcmc" else 0.0,
         batch_size=args.batch_size, distributed=args.distributed,
+        visible_adam=args.visible_adam, compression=args.compression,
         eval_steps=(7000, args.max_steps), save_steps=(7000, args.max_steps))
     runner = Runner(cfg)
 

@@ -67,6 +67,10 @@ class GSConfig:
     lpips_net: str = "alex"            # parity field; LPIPS gated off on TPU
     distributed: bool = False          # gaussian-sharded multi-chip rendering
                                        # (gsplat distributed=True analog, B7/B9)
+    tb_every: int = 100                # scalar-log cadence (ref tb_every)
+    tb_save_image: bool = False        # also dump train renders
+    visible_adam: bool = False         # SelectiveAdam analog (gs/optim.py)
+    compression: Optional[str] = None  # "png" -> compress at eval steps
 
 
 class Runner:
@@ -104,6 +108,9 @@ class Runner:
         self.tx = splats_mod.make_optimizer(
             self.scene_scale, max_steps=cfg.max_steps,
             batch_scale=float(np.sqrt(cfg.batch_size)))
+        if cfg.visible_adam:
+            from instantsfm_tpu.gs import optim as optim_mod
+            self.tx = optim_mod.selective(self.tx)
         self.opt_state = self.tx.init(splats_mod.float_params(self.splats))
         self.strategy_state = strat_mod.init_state(capacity)
         self.strategy_cfg = strat_mod.StrategyConfig()
@@ -126,6 +133,8 @@ class Runner:
 
         self.key = jax.random.PRNGKey(42)
         self.stats = {}
+        from instantsfm_tpu.utils.scalars import ScalarLogger
+        self.writer = ScalarLogger(os.path.join(cfg.result_dir, "tb"))
 
         # ---- gaussian-sharded distributed rendering (all-to-all exchange)
         self.mesh = None
@@ -248,7 +257,11 @@ class Runner:
         radii = jnp.max(outs.radii, axis=0)     # densification stats over views
         seen = jnp.any(outs.valid, axis=0)
 
-        updates, opt_state = self.tx.update(g_params, opt_state, fparams)
+        if self.cfg.visible_adam:
+            updates, opt_state = self.tx.update(g_params, opt_state, fparams,
+                                                visible=seen)
+        else:
+            updates, opt_state = self.tx.update(g_params, opt_state, fparams)
         fparams = optax.apply_updates(fparams, updates)
         splats = splats_mod.with_float_params(splats, fparams)._replace(
             alive=alive)
@@ -344,11 +357,34 @@ class Runner:
             if step % 100 == 0:
                 self.log(f"step {step}: loss {float(loss):.4f} "
                          f"l1 {float(l1):.4f} ssim {float(s):.4f}")
+            # scalar stream (reference tb cadence, gsplat_trainer.py:708-723)
+            if cfg.tb_every > 0 and step % cfg.tb_every == 0:
+                self.writer.add_scalar("train/loss", float(loss), step)
+                self.writer.add_scalar("train/l1loss", float(l1), step)
+                self.writer.add_scalar("train/ssimloss", float(s), step)
+                self.writer.add_scalar(
+                    "train/num_GS",
+                    int(np.asarray(self.splats.alive).sum()), step)
+                try:
+                    mem = jax.local_devices()[0].memory_stats()
+                    self.writer.add_scalar(
+                        "train/mem",
+                        mem.get("bytes_in_use", 0) / 1024 ** 3, step)
+                except Exception:
+                    pass
+                self.writer.flush()
             if step + 1 in cfg.eval_steps:
                 self.eval(step + 1)
+                if cfg.compression == "png":
+                    from instantsfm_tpu.gs import compression as comp_mod
+                    cdir = os.path.join(cfg.result_dir, "compression",
+                                        f"step{step + 1}")
+                    comp_mod.compress_splats(self.splats, cdir)
+                    self.log(f"compressed model written to {cdir}")
             if step + 1 in cfg.save_steps:
                 self.save_checkpoint(step + 1)
         self.log(f"training done in {time.time() - t_start:.1f}s")
+        self.writer.flush()
         return losses
 
     # ----------------------------------------------------------- eval / io
@@ -387,6 +423,9 @@ class Runner:
             stats["lpips"] = float(np.mean(lpipss))
         self.stats[step] = stats
         self.log(f"eval @ {step}: {stats}")
+        for k, v in stats.items():
+            self.writer.add_scalar(f"val/{k}", v, step)
+        self.writer.flush()
         os.makedirs(os.path.join(cfg.result_dir, "stats"), exist_ok=True)
         with open(os.path.join(cfg.result_dir, "stats", f"val_{step}.json"),
                   "w") as f:

@@ -141,3 +141,80 @@ def test_gs_training_distributed_runner(tmp_path, rng):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, \
         f"loss did not improve: {losses[:5]} -> {losses[-5:]}"
     assert runner.stats[40]["psnr"] > 14, runner.stats[40]
+
+
+def test_selective_adam_updates_only_visible():
+    import optax
+
+    from instantsfm_tpu.gs import optim as optim_mod
+
+    tx = optim_mod.selective(optax.adam(1e-1, eps=1e-15))
+    params = {"w": jnp.ones((6, 3))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((6, 3))}
+    visible = jnp.array([True, True, False, True, False, False])
+
+    ups, state = tx.update(grads, state, params, visible=visible)
+    new = optax.apply_updates(params, ups)
+    w = np.asarray(new["w"])
+    assert (w[~np.asarray(visible)] == 1.0).all()     # untouched rows
+    assert (w[np.asarray(visible)] < 1.0).all()       # adam stepped
+    # moments advanced only on visible rows
+    mu = np.asarray(state[0].mu["w"])
+    assert (mu[~np.asarray(visible)] == 0.0).all()
+    assert (np.abs(mu[np.asarray(visible)]) > 0).all()
+
+
+def test_png_compression_roundtrip(tmp_path, rng):
+    from instantsfm_tpu.gs import compression as comp_mod
+
+    n = 257                               # non-square to exercise padding
+    splats = splats_mod.init_splats(
+        rng.uniform(-3, 3, (n, 3)), rng.uniform(0, 1, (n, 3)),
+        capacity=n + 31, sh_degree=2)
+    out = os.path.join(tmp_path, "comp")
+    meta = comp_mod.compress_splats(splats, out)
+    assert meta["n"] == n                 # only alive gaussians stored
+    back = comp_mod.decompress_splats(out)
+
+    alive = np.asarray(splats.alive).astype(bool)
+    means = np.asarray(splats.means)[alive]
+    span = means.max(0) - means.min(0)
+    err = np.abs(back["means"] - means)
+    assert (err <= span / (2 ** 16 - 1) * 0.51 + 1e-7).all()   # 16-bit grid
+    for f in ("scales", "quats", "sh0", "shN"):
+        a = np.asarray(getattr(splats, f))[alive].reshape(n, -1)
+        b = back[f].reshape(n, -1)
+        span = np.maximum(a.max(0) - a.min(0), 1e-9)
+        assert (np.abs(a - b) <= span / 255 * 0.51 + 1e-6).all(), f
+    op = np.asarray(splats.opacities)[alive]
+    assert np.abs(back["opacities"] - op).max() <= \
+        max(np.ptp(op), 1e-9) / 255 * 0.51 + 1e-6
+
+
+def test_trainer_tail_features(tmp_path, rng):
+    """visible_adam + png compression + scalar stream through a short run."""
+    import json as json_mod
+
+    data_dir = _make_gs_scene(tmp_path, rng)
+    cfg = GSConfig(data_dir=data_dir,
+                   result_dir=os.path.join(tmp_path, "out"),
+                   max_steps=30, eval_steps=(30,), save_steps=(30,),
+                   sh_degree=1, sh_degree_interval=10, capacity_mult=1.5,
+                   tile_capacity=128, visible_adam=True, compression="png",
+                   tb_every=10)
+    runner = Runner(cfg, log=lambda *a, **k: None)
+    losses = runner.train()
+    assert np.isfinite(losses).all()
+
+    scal = os.path.join(cfg.result_dir, "tb", "scalars.jsonl")
+    assert os.path.exists(scal)
+    tags = {json_mod.loads(l)["tag"] for l in open(scal)}
+    assert {"train/loss", "train/l1loss", "train/ssimloss",
+            "train/num_GS", "val/psnr"} <= tags
+
+    cdir = os.path.join(cfg.result_dir, "compression", "step30")
+    assert os.path.exists(os.path.join(cdir, "meta.json"))
+    from instantsfm_tpu.gs import compression as comp_mod
+    back = comp_mod.decompress_splats(cdir)
+    assert back["means"].shape[1] == 3 and len(back["means"]) > 0
