@@ -82,6 +82,8 @@ def make_ba(num_cams=200, num_pts=50_000, obs_per_pt=8, seed=0):
 
 
 def main():
+    import os
+
     import jax
     from instantsfm_tpu import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
@@ -92,7 +94,12 @@ def main():
                                                Params, lm_step)
     from instantsfm_tpu.solve.blocked import bucketize
 
-    problem, params, obs = make_ba()
+    # BENCH_BA_CAMS/PTS/OBS_PER_PT pick other BASELINE.md configs
+    # (e.g. 500 cams / 1M pts for the 1-host T&T-scale config)
+    num_cams = int(os.environ.get("BENCH_BA_CAMS", "200"))
+    num_pts = int(os.environ.get("BENCH_BA_PTS", "50000"))
+    obs_per_pt = int(os.environ.get("BENCH_BA_OBS_PER_PT", "8"))
+    problem, params, obs = make_ba(num_cams, num_pts, obs_per_pt)
     cfg = LMConfig(pcg_iters=25, pcg_tol=1e-4, max_rejects=2)
     kernel = robust.huber(1.0)
 
@@ -136,16 +143,20 @@ def main():
     rec = {
         "metric": "ba_iters_per_sec",
         "value": round(iters_per_sec, 3),
-        "unit": "iter/s (200 cams, 50k pts, 400k obs, 25 CG/iter); "
+        "unit": f"iter/s ({num_cams} cams, {num_pts} pts, "
+                f"{num_pts * obs_per_pt} obs, 25 CG/iter); "
                 "vs_baseline = roofline_frac",
         "vs_baseline": None,
     }
     try:
         compiled = step.lower(fresh_state(), obs).compile()
         rl = analyze(compiled, dt / N)
+        import math
+        frac = (round(rl.roofline_frac, 3)
+                if math.isfinite(rl.roofline_frac) else None)
         rec.update({
-            "vs_baseline": round(rl.roofline_frac, 3),
-            "roofline_frac": round(rl.roofline_frac, 3),
+            "vs_baseline": frac,
+            "roofline_frac": frac,
             "mfu": round(rl.mfu, 4),
             "membw_util": round(rl.membw_util, 4),
             "bound": rl.bound,

@@ -88,9 +88,12 @@ def main():
     try:
         compiled = step.lower(fparams, opt_state).compile()
         rl = analyze(compiled, dt / N)
+        import math
+        frac = (round(rl.roofline_frac, 3)
+                if math.isfinite(rl.roofline_frac) else None)
         rec.update({
-            "vs_baseline": round(rl.roofline_frac, 3),
-            "roofline_frac": round(rl.roofline_frac, 3),
+            "vs_baseline": frac,
+            "roofline_frac": frac,
             "mfu": round(rl.mfu, 4),
             "membw_util": round(rl.membw_util, 4),
             "bound": rl.bound,

@@ -15,6 +15,8 @@ def main(argv=None):
     parser.add_argument("--max_keypoints", type=int, default=4096)
     parser.add_argument("--sequential_overlap", type=int, default=0,
                         help=">0 switches exhaustive matching to sequential")
+    parser.add_argument("--match_ratio", type=float, default=None,
+                        help="Lowe ratio (default 0.85 SIFT / 0.95 SuperPoint)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
 
@@ -50,6 +52,7 @@ def main(argv=None):
                       feature_name=args.feature_name, config=config,
                       max_image_size=args.max_image_size,
                       max_keypoints=args.max_keypoints,
+                      match_ratio=args.match_ratio,
                       sequential_overlap=args.sequential_overlap)
     return 0
 

@@ -66,17 +66,24 @@ class Roofline(NamedTuple):
 
 def analyze(compiled, t_step: float, device=None) -> Roofline:
     """Roofline for one executed step of ``compiled`` measured at ``t_step``
-    seconds.  NB: while_loop bodies are counted ONCE by the cost model — for
-    LM steps this matches the steady state (accept on first try)."""
+    seconds.  NB: control-flow bodies (while_loop, lax.map slabs) are counted
+    ONCE by the cost model — for LM steps at the default slab size this
+    matches the steady state (accept on first try, single slab).  When the
+    modeled traffic exceeds what the chip could physically move in the
+    measured time (utilization > 1), the counts are multiplicity-skewed and
+    the roofline fraction is reported as unreliable (``bound`` says so)."""
     spec = chip_spec(device)
     flops, hbm = cost_of(compiled)
     t_c = flops / spec.peak_flops
     t_m = hbm / spec.peak_bw
     t_light = max(t_c, t_m)
+    frac = t_light / t_step if t_step > 0 else 0.0
+    mfu = flops / t_step / spec.peak_flops
+    bw = hbm / t_step / spec.peak_bw
+    bound = "compute" if t_c >= t_m else "memory"
+    if frac > 1.02:       # physically impossible -> cost model miscounted
+        bound = "unreliable (control-flow multiplicity in cost model)"
     return Roofline(
         flops=flops, hbm_bytes=hbm, t_light=t_light,
-        mfu=flops / t_step / spec.peak_flops,
-        membw_util=hbm / t_step / spec.peak_bw,
-        roofline_frac=t_light / t_step if t_step > 0 else 0.0,
-        bound="compute" if t_c >= t_m else "memory",
-        chip=spec.name)
+        mfu=mfu, membw_util=bw, roofline_frac=min(frac, 1.0) if frac <= 1.02
+        else float("nan"), bound=bound, chip=spec.name)
