@@ -356,9 +356,15 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
     if len(pair_rows) == 0:
         return
 
-    bearings = images.kp_bearing
+    # pre-cast the shared keypoint arrays to the solve dtype ONCE: packing
+    # then writes dtype->dtype and the per-chunk jnp.asarray is a plain copy
+    # (casting f64 chunk buffers at transfer time cost ~0.7 s per [256,16k,2]
+    # array — ~half the whole stage)
+    npdtype = np.dtype(jnp.asarray(0, dtype).dtype)
+    bearings = images.kp_bearing.astype(npdtype)
     uv_all = bearings[:, :2] / np.maximum(np.abs(bearings[:, 2:]), 1e-9) \
         * np.sign(bearings[:, 2:])
+    kp_xy = images.kp_xy.astype(npdtype)
     key = jax.random.PRNGKey(seed)
 
     # group rows by (bucketed match count) to bound recompiles
@@ -368,40 +374,50 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
     for e in pair_rows:
         groups.setdefault(_bucket(mcounts[e]), []).append(e)
 
+    # two-phase pipelining: dispatch every chunk's device work first (jax
+    # dispatch is async — chunk k+1's host packing overlaps chunk k's device
+    # compute), then read results back in order.  Serial per-chunk sync was
+    # ~35s for 2400 pairs; pipelined ~2x faster (device never idles on pack).
+    pending = []
     for M, rows in sorted(groups.items()):
         for lo_i in range(0, len(rows), chunk_pairs):
             chunk = rows[lo_i:lo_i + chunk_pairs]
-            _process_chunk(view_graph, images, uv_all, np.array(chunk), M,
-                           num_hyps, key, dtype,
-                           pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
-                           five_point=five_point,
-                           num_hyps_minimal=num_hyps_minimal)
+            pending.append(_process_chunk(
+                view_graph, images.kp_offset, kp_xy, bearings, uv_all,
+                np.array(chunk), M, num_hyps, key, dtype,
+                pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
+                five_point=five_point,
+                num_hyps_minimal=num_hyps_minimal))
             key = jax.random.split(key, 1)[0]
+    for out in pending:
+        _writeback_chunk(view_graph, *out)
 
 
-def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
-                   pad_to=None, five_point=True, num_hyps_minimal=192):
+def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
+                   num_hyps, key, dtype, pad_to=None, five_point=True,
+                   num_hyps_minimal=192):
     P = pad_to if pad_to else len(rows)
+    npdtype = kp_xy.dtype            # pre-cast to the solve dtype by caller
     _sp = span(f"relpose chunk pack P={P} M={M}"); _sp.__enter__()
-    x1_pix = np.zeros((P, M, 2))
-    x2_pix = np.zeros((P, M, 2))
-    x1_norm = np.zeros((P, M, 2))
-    x2_norm = np.zeros((P, M, 2))
-    b1 = np.zeros((P, M, 3))
-    b2 = np.zeros((P, M, 3))
+    x1_pix = np.zeros((P, M, 2), npdtype)
+    x2_pix = np.zeros((P, M, 2), npdtype)
+    x1_norm = np.zeros((P, M, 2), npdtype)
+    x2_norm = np.zeros((P, M, 2), npdtype)
+    b1 = np.zeros((P, M, 3), npdtype)
+    b2 = np.zeros((P, M, 3), npdtype)
     valid = np.zeros((P, M), bool)
     for k, e in enumerate(rows):
         m = view_graph.pair_matches(e)
         i, j = view_graph.pair_i[e], view_graph.pair_j[e]
-        f1 = images.kp_offset[i] + m[:, 0]
-        f2 = images.kp_offset[j] + m[:, 1]
+        f1 = kp_offset[i] + m[:, 0]
+        f2 = kp_offset[j] + m[:, 1]
         n = len(m)
-        x1_pix[k, :n] = images.kp_xy[f1]
-        x2_pix[k, :n] = images.kp_xy[f2]
+        x1_pix[k, :n] = kp_xy[f1]
+        x2_pix[k, :n] = kp_xy[f2]
         x1_norm[k, :n] = uv_all[f1]
         x2_norm[k, :n] = uv_all[f2]
-        b1[k, :n] = images.kp_bearing[f1]
-        b2[k, :n] = images.kp_bearing[f2]
+        b1[k, :n] = kp_bearing[f1]
+        b2[k, :n] = kp_bearing[f2]
         valid[k, :n] = True
 
     _sp.__exit__()
@@ -434,46 +450,53 @@ def _process_chunk(view_graph, images, uv_all, rows, M, num_hyps, key, dtype,
                            e_thresh)
 
     cfgs = view_graph.config[rows]
-    with span("relpose e_inl to host"):
-        sel_inl = np.array(e_inl)
-
     pix_thresh = jnp.asarray(3.0**2, dtype)
     uncal = np.nonzero(cfgs == CONFIG_UNCALIBRATED)[0]
-    if len(uncal):
-        F, _ = _ransac_fundamental_like(
-            jd(ss(x1_pix)[uncal]), jd(ss(x2_pix)[uncal]),
-            jnp.asarray(ss(valid)[uncal]), key_f, num_hyps, pix_thresh,
-            essential=False, score_chunk=_auto_chunk(len(uncal), Ms, num_hyps))
-        f_inl = _model_inliers(F, jd(x1_pix[uncal]), jd(x2_pix[uncal]),
-                               jnp.asarray(valid[uncal]), pix_thresh)
-        view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
-        sel_inl[uncal] = np.asarray(f_inl)
-
     planar = np.nonzero(np.isin(cfgs, (CONFIG_PLANAR, CONFIG_PANORAMIC,
                                        CONFIG_PLANAR_OR_PANORAMIC)))[0]
-    if len(planar):
-        H, _ = _ransac_homography(
-            jd(ss(x1_pix)[planar]), jd(ss(x2_pix)[planar]),
-            jnp.asarray(ss(valid)[planar]), key_h, num_hyps, pix_thresh,
-            score_chunk=_auto_chunk(len(planar), Ms, num_hyps))
-        h_inl = _model_inliers(H, jd(x1_pix[planar]), jd(x2_pix[planar]),
-                               jnp.asarray(valid[planar]), pix_thresh,
-                               kind="homography")
-        view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
-        sel_inl[planar] = np.asarray(h_inl)
+    if len(uncal) or len(planar):
+        # rare path (non-CALIBRATED pairs): model-selection overrides need a
+        # host round-trip; the common all-calibrated path stays device-only
+        with span("relpose e_inl to host"):
+            sel_inl_host = np.array(e_inl)
+        if len(uncal):
+            F, _ = _ransac_fundamental_like(
+                jd(ss(x1_pix)[uncal]), jd(ss(x2_pix)[uncal]),
+                jnp.asarray(ss(valid)[uncal]), key_f, num_hyps, pix_thresh,
+                essential=False,
+                score_chunk=_auto_chunk(len(uncal), Ms, num_hyps))
+            f_inl = _model_inliers(F, jd(x1_pix[uncal]), jd(x2_pix[uncal]),
+                                   jnp.asarray(valid[uncal]), pix_thresh)
+            view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
+            sel_inl_host[uncal] = np.asarray(f_inl)
+        if len(planar):
+            H, _ = _ransac_homography(
+                jd(ss(x1_pix)[planar]), jd(ss(x2_pix)[planar]),
+                jnp.asarray(ss(valid)[planar]), key_h, num_hyps, pix_thresh,
+                score_chunk=_auto_chunk(len(planar), Ms, num_hyps))
+            h_inl = _model_inliers(H, jd(x1_pix[planar]), jd(x2_pix[planar]),
+                                   jnp.asarray(valid[planar]), pix_thresh,
+                                   kind="homography")
+            view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
+            sel_inl_host[planar] = np.asarray(h_inl)
+        sel_inl = jnp.asarray(sel_inl_host)
+    else:
+        sel_inl = e_inl
 
-    with span(f"relpose final_pose P={P} M={M}"):
+    with span(f"relpose final_pose dispatch P={P} M={M}"):
         if M > Ms:
             # vote for (R, t) on the subsample; cheirality mask on all matches
             q, Rm, t = _final_pose_qt(E, jd(ss(b1)), jd(ss(b2)),
-                                      jnp.asarray(ss(np.ascontiguousarray(
-                                          sel_inl))))
-            pass_mask = _cheirality_pass(Rm, t, jd(b1), jd(b2),
-                                         jnp.asarray(sel_inl))
+                                      ss(sel_inl))
+            pass_mask = _cheirality_pass(Rm, t, jd(b1), jd(b2), sel_inl)
         else:
-            q, t, pass_mask = _final_pose(E, jd(b1), jd(b2),
-                                          jnp.asarray(sel_inl))
+            q, t, pass_mask = _final_pose(E, jd(b1), jd(b2), sel_inl)
+    return rows, E, q, t, pass_mask
 
+
+def _writeback_chunk(view_graph, rows, E, q, t, pass_mask):
+    """Read one chunk's device results back and scatter into the view graph
+    (runs after ALL chunks are dispatched — see estimate_relative_pose)."""
     n_real = len(rows)
     _sp = span("relpose writeback"); _sp.__enter__()
     view_graph.E_mat[rows] = np.asarray(E, np.float64)[:n_real]
