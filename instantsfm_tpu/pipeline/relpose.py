@@ -378,7 +378,15 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
     # dispatch is async — chunk k+1's host packing overlaps chunk k's device
     # compute), then read results back in order.  Serial per-chunk sync was
     # ~35s for 2400 pairs; pipelined ~2x faster (device never idles on pack).
+    # Chunks round-robin over the local devices (RANSAC is embarrassingly
+    # parallel over pair tiles): on a multi-chip host every chip estimates
+    # its own chunks concurrently.  ISFM_RELPOSE_ONE_DEVICE=1 opts out.
+    import os
+    devices = jax.local_devices()
+    if os.environ.get("ISFM_RELPOSE_ONE_DEVICE"):
+        devices = devices[:1]
     pending = []
+    n_chunk = 0
     for M, rows in sorted(groups.items()):
         for lo_i in range(0, len(rows), chunk_pairs):
             chunk = rows[lo_i:lo_i + chunk_pairs]
@@ -387,15 +395,17 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
                 np.array(chunk), M, num_hyps, key, dtype,
                 pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
                 five_point=five_point,
-                num_hyps_minimal=num_hyps_minimal))
+                num_hyps_minimal=num_hyps_minimal,
+                device=devices[n_chunk % len(devices)]))
             key = jax.random.split(key, 1)[0]
+            n_chunk += 1
     for out in pending:
         _writeback_chunk(view_graph, *out)
 
 
 def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
                    num_hyps, key, dtype, pad_to=None, five_point=True,
-                   num_hyps_minimal=192):
+                   num_hyps_minimal=192, device=None):
     P = pad_to if pad_to else len(rows)
     npdtype = kp_xy.dtype            # pre-cast to the solve dtype by caller
     _sp = span(f"relpose chunk pack P={P} M={M}"); _sp.__enter__()
@@ -421,8 +431,13 @@ def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
         valid[k, :n] = True
 
     _sp.__exit__()
-    jd = lambda a: jnp.asarray(a, dtype)
-    key_e, key_f, key_h = jax.random.split(key, 3)
+    if device is not None:
+        jd = lambda a: jax.device_put(np.asarray(a, npdtype), device)
+        jb = lambda a: jax.device_put(np.asarray(a), device)
+    else:
+        jd = lambda a: jnp.asarray(a, dtype)
+        jb = jnp.asarray
+    key_e, key_f, key_h = (jb(k) for k in jax.random.split(key, 3))
 
     # estimation cap: RANSAC sampling/scoring/LO run on a strided subsample of
     # at most _ESTIMATE_CAP matches per pair (statistically equivalent for
@@ -438,15 +453,15 @@ def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
         from instantsfm_tpu.math.fivepoint import NUM_ROOT_SLOTS
         with span(f"relpose 5pt P={P} M={Ms}"):
             E, _ = _ransac_essential_5pt(
-                jd(ss(x1_norm)), jd(ss(x2_norm)), jnp.asarray(ss(valid)),
+                jd(ss(x1_norm)), jd(ss(x2_norm)), jb(ss(valid)),
                 key_e, num_hyps_minimal, e_thresh,
                 score_chunk=_auto_chunk(P, Ms, num_hyps_minimal * NUM_ROOT_SLOTS))
     else:
         E, _ = _ransac_fundamental_like(
-            jd(ss(x1_norm)), jd(ss(x2_norm)), jnp.asarray(ss(valid)), key_e,
+            jd(ss(x1_norm)), jd(ss(x2_norm)), jb(ss(valid)), key_e,
             num_hyps, e_thresh, essential=True,
             score_chunk=_auto_chunk(P, Ms, num_hyps))
-    e_inl = _model_inliers(E, jd(x1_norm), jd(x2_norm), jnp.asarray(valid),
+    e_inl = _model_inliers(E, jd(x1_norm), jd(x2_norm), jb(valid),
                            e_thresh)
 
     cfgs = view_graph.config[rows]
@@ -462,24 +477,24 @@ def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
         if len(uncal):
             F, _ = _ransac_fundamental_like(
                 jd(ss(x1_pix)[uncal]), jd(ss(x2_pix)[uncal]),
-                jnp.asarray(ss(valid)[uncal]), key_f, num_hyps, pix_thresh,
+                jb(ss(valid)[uncal]), key_f, num_hyps, pix_thresh,
                 essential=False,
                 score_chunk=_auto_chunk(len(uncal), Ms, num_hyps))
             f_inl = _model_inliers(F, jd(x1_pix[uncal]), jd(x2_pix[uncal]),
-                                   jnp.asarray(valid[uncal]), pix_thresh)
+                                   jb(valid[uncal]), pix_thresh)
             view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
             sel_inl_host[uncal] = np.asarray(f_inl)
         if len(planar):
             H, _ = _ransac_homography(
                 jd(ss(x1_pix)[planar]), jd(ss(x2_pix)[planar]),
-                jnp.asarray(ss(valid)[planar]), key_h, num_hyps, pix_thresh,
+                jb(ss(valid)[planar]), key_h, num_hyps, pix_thresh,
                 score_chunk=_auto_chunk(len(planar), Ms, num_hyps))
             h_inl = _model_inliers(H, jd(x1_pix[planar]), jd(x2_pix[planar]),
-                                   jnp.asarray(valid[planar]), pix_thresh,
+                                   jb(valid[planar]), pix_thresh,
                                    kind="homography")
             view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
             sel_inl_host[planar] = np.asarray(h_inl)
-        sel_inl = jnp.asarray(sel_inl_host)
+        sel_inl = jb(sel_inl_host)
     else:
         sel_inl = e_inl
 
