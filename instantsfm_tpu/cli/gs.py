@@ -27,6 +27,10 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None, help="eval-only from ckpt")
     parser.add_argument("--platform", default=None)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--camera_model", default="pinhole",
+                        choices=["pinhole", "ortho", "fisheye"])
+    parser.add_argument("--patch_size", type=int, default=None)
+    parser.add_argument("--steps_scaler", type=float, default=1.0)
     parser.add_argument("--visible_adam", action="store_true",
                         help="SelectiveAdam analog: update only visible gaussians")
     parser.add_argument("--compression", default=None,
@@ -63,6 +67,8 @@ def main(argv=None):
         scale_reg=0.01 if args.preset == "mcmc" else 0.0,
         batch_size=args.batch_size, distributed=args.distributed,
         visible_adam=args.visible_adam, compression=args.compression,
+        camera_model=args.camera_model, patch_size=args.patch_size,
+        steps_scaler=args.steps_scaler,
         eval_steps=(7000, args.max_steps), save_steps=(7000, args.max_steps))
     runner = Runner(cfg)
 

@@ -35,6 +35,7 @@ class Parser:
     factor: int = 1
     normalize: bool = True
     test_every: int = 8
+    image_folder_name: str = "images"
 
     image_names: List[str] = field(default_factory=list)
     image_paths: List[str] = field(default_factory=list)
@@ -56,7 +57,7 @@ class Parser:
             sparse = os.path.join(self.data_dir, "sparse")
         cams, imgs, pts = cmio.read_model(sparse)
 
-        img_dir = os.path.join(self.data_dir, "images")
+        img_dir = os.path.join(self.data_dir, self.image_folder_name)
         items = sorted(imgs.values(), key=lambda im: im.name)
         self.image_names = [im.name for im in items]
         self.image_paths = [os.path.join(img_dir, im.name) for im in items]

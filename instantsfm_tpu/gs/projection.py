@@ -30,12 +30,17 @@ def quat_scale_to_cov(quats, scales):
 
 
 def project(means, quats, scales, viewmat, K, width: int, height: int,
-            eps2d: float = 0.3, near: float = 0.01, far: float = 1e10):
+            eps2d: float = 0.3, near: float = 0.01, far: float = 1e10,
+            camera_model: str = "pinhole"):
     """means [G,3] world; viewmat [4,4] world->cam; K [3,3] intrinsics.
 
     Scalar-component formulation: every intermediate is a [G] vector, never a
     [G,3,3]/[G,2,3] tensor — trailing dims of 3 pad to 128 lanes on TPU and
     cost ~40x the bandwidth (measured 48ms -> ~1ms at G=100k).
+
+    ``camera_model``: "pinhole" | "ortho" | "fisheye" (equidistant), the
+    reference's gsplat rasterization camera models
+    (``gsplat_trainer.py camera_model`` field).
     """
     # world->cam rotation entries as traced scalars (broadcast over [G])
     R00, R01, R02 = viewmat[0, 0], viewmat[0, 1], viewmat[0, 2]
@@ -49,8 +54,22 @@ def project(means, quats, scales, viewmat, K, width: int, height: int,
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-    u = fx * px / z_safe + cx
-    v = fy * py / z_safe + cy
+    if camera_model == "pinhole":
+        u = fx * px / z_safe + cx
+        v = fy * py / z_safe + cy
+    elif camera_model == "ortho":
+        u = fx * px + cx
+        v = fy * py + cy
+    elif camera_model == "fisheye":
+        # equidistant: pix = f * theta * (px, py) / r, theta = atan2(r, z)
+        r2 = px * px + py * py
+        r = jnp.sqrt(jnp.maximum(r2, 1e-16))
+        theta = jnp.arctan2(r, z)
+        s_fe = jnp.where(r2 < 1e-12, 1.0 / z_safe, theta / r)
+        u = fx * px * s_fe + cx
+        v = fy * py * s_fe + cy
+    else:
+        raise ValueError(f"unknown camera_model {camera_model!r}")
 
     # gaussian rotation entries from the (normalized) quaternion
     qn = jnp.sqrt(jnp.sum(quats * quats, -1)).clip(1e-12)
@@ -82,18 +101,49 @@ def project(means, quats, scales, viewmat, K, width: int, height: int,
     S22 = w20 * w20 * s0 + w21 * w21 * s1 + w22 * w22 * s2
 
     # EWA: J = d(pix)/d(cam) with clamped tangent (gsplat convention)
-    # J row0 = [fx/z, 0, -fx*tx/z^2], row1 = [0, fy/z, -fy*ty/z^2]
-    lim_x = 1.3 * (width / (2 * fx))
-    lim_y = 1.3 * (height / (2 * fy))
-    tx = z_safe * jnp.clip(px / z_safe, -lim_x, lim_x)
-    ty = z_safe * jnp.clip(py / z_safe, -lim_y, lim_y)
-    j00 = fx / z_safe
-    j02 = -fx * tx / (z_safe * z_safe)
-    j11 = fy / z_safe
-    j12 = -fy * ty / (z_safe * z_safe)
-    a = j00 * (j00 * S00 + j02 * S02) + j02 * (j00 * S02 + j02 * S22) + eps2d
-    b = j00 * (j11 * S01 + j12 * S02) + j02 * (j11 * S12 + j12 * S22)
-    c = j11 * (j11 * S11 + j12 * S12) + j12 * (j11 * S12 + j12 * S22) + eps2d
+    if camera_model == "pinhole":
+        # J row0 = [fx/z, 0, -fx*tx/z^2], row1 = [0, fy/z, -fy*ty/z^2]
+        lim_x = 1.3 * (width / (2 * fx))
+        lim_y = 1.3 * (height / (2 * fy))
+        tx = z_safe * jnp.clip(px / z_safe, -lim_x, lim_x)
+        ty = z_safe * jnp.clip(py / z_safe, -lim_y, lim_y)
+        zero = jnp.zeros_like(z_safe)
+        j00 = fx / z_safe
+        j01 = zero
+        j02 = -fx * tx / (z_safe * z_safe)
+        j10 = zero
+        j11 = fy / z_safe
+        j12 = -fy * ty / (z_safe * z_safe)
+    elif camera_model == "ortho":
+        zero = jnp.zeros_like(z_safe)
+        j00 = jnp.full_like(z_safe, fx)
+        j01 = j02 = j10 = j12 = zero
+        j11 = jnp.full_like(z_safe, fy)
+    else:  # fisheye (gsplat's equidistant Jacobian)
+        x2 = px * px
+        y2 = py * py
+        xy_ = px * py
+        x2y2 = jnp.maximum(x2 + y2, 1e-12)
+        inv_x2y2z2 = 1.0 / (x2y2 + z * z)
+        rr = jnp.sqrt(x2y2)
+        b_fe = jnp.arctan2(rr, z) / rr            # theta / r
+        a_fe = z * inv_x2y2z2                     # d(theta)/d(r)
+        j00 = fx * (x2 * a_fe + y2 * b_fe) / x2y2
+        j01 = fx * xy_ * (a_fe - b_fe) / x2y2
+        j02 = -fx * px * inv_x2y2z2
+        j10 = fy * xy_ * (a_fe - b_fe) / x2y2
+        j11 = fy * (y2 * a_fe + x2 * b_fe) / x2y2
+        j12 = -fy * py * inv_x2y2z2
+    # cov2d = J S J^T, general 2x3 J (j01/j10 fold away for pinhole/ortho)
+    Jr0S0 = j00 * S00 + j01 * S01 + j02 * S02
+    Jr0S1 = j00 * S01 + j01 * S11 + j02 * S12
+    Jr0S2 = j00 * S02 + j01 * S12 + j02 * S22
+    Jr1S0 = j10 * S00 + j11 * S01 + j12 * S02
+    Jr1S1 = j10 * S01 + j11 * S11 + j12 * S12
+    Jr1S2 = j10 * S02 + j11 * S12 + j12 * S22
+    a = Jr0S0 * j00 + Jr0S1 * j01 + Jr0S2 * j02 + eps2d
+    b = Jr1S0 * j00 + Jr1S1 * j01 + Jr1S2 * j02
+    c = Jr1S0 * j10 + Jr1S1 * j11 + Jr1S2 * j12 + eps2d
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)
     conics = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)

@@ -55,11 +55,13 @@ class Projected2D(NamedTuple):
 
 def project_view(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
                  width: int, height: int, sh_degree: int = 3,
-                 eps2d: float = 0.3, means2d_offset=None) -> Projected2D:
+                 eps2d: float = 0.3, means2d_offset=None,
+                 camera_model: str = "pinhole") -> Projected2D:
     """Phase 1: EWA projection + SH color for one view (owner-side in the
     distributed renderer)."""
     proj = projection.project(means, quats, scales, viewmat, Kmat,
-                              width, height, eps2d=eps2d)
+                              width, height, eps2d=eps2d,
+                              camera_model=camera_model)
     means2d = proj.means2d
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
@@ -77,12 +79,12 @@ def project_view(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree",
                                    "tiles_per_gauss", "tile_capacity",
-                                   "use_pallas"))
+                                   "use_pallas", "camera_model"))
 def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
               width: int, height: int, sh_degree: int = 3,
               tiles_per_gauss: int = 16, tile_capacity: int = 512,
               background=None, means2d_offset=None, eps2d: float = 0.3,
-              use_pallas=None):
+              use_pallas=None, camera_model: str = "pinhole"):
     """Full differentiable forward render.
 
     means [G,3], quats [G,4] xyzw, scales [G,3] (linear), opacities [G]
@@ -91,7 +93,8 @@ def rasterize(means, quats, scales, opacities, sh_coeffs, viewmat, Kmat,
     screen-space positional gradient used by densification strategies.
     """
     p = project_view(means, quats, scales, opacities, sh_coeffs, viewmat,
-                     Kmat, width, height, sh_degree, eps2d, means2d_offset)
+                     Kmat, width, height, sh_degree, eps2d, means2d_offset,
+                     camera_model=camera_model)
     return rasterize_projected(p, width, height,
                                tiles_per_gauss=tiles_per_gauss,
                                tile_capacity=tile_capacity,

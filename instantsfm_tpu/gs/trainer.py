@@ -35,11 +35,20 @@ class GSConfig:
     data_dir: str = ""
     result_dir: str = "results"
     data_factor: int = 1
+    image_folder_name: str = "images"
     test_every: int = 8
     max_steps: int = 30000
+    steps_scaler: float = 1.0          # scales every step count/milestone
     eval_steps: tuple = (7000, 30000)
     save_steps: tuple = (7000, 30000)
     batch_size: int = 1
+    patch_size: Optional[int] = None   # random-crop training patches
+    global_scale: float = 1.0
+    normalize_world_space: bool = True
+    camera_model: str = "pinhole"      # "pinhole" | "ortho" | "fisheye"
+    init_type: str = "sfm"             # "sfm" | "random"
+    init_num_pts: int = 100_000
+    init_extent: float = 3.0
     sh_degree: int = 3
     sh_degree_interval: int = 1000
     init_opa: float = 0.1
@@ -54,10 +63,14 @@ class GSConfig:
     scale_reg: float = 0.0
     pose_opt: bool = False
     pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6
     pose_noise: float = 0.0
     app_opt: bool = False
+    app_embed_dim: int = 16
     app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
     use_bilateral_grid: bool = False
+    bilateral_grid_shape: tuple = (16, 16, 8)
     bilateral_grid_lr: float = 2e-3
     depth_loss: bool = False
     depth_lambda: float = 1e-2
@@ -75,15 +88,27 @@ class GSConfig:
 
 class Runner:
     def __init__(self, cfg: GSConfig, log=print):
+        if cfg.steps_scaler != 1.0:
+            # reference steps_scaler: scale every schedule milestone
+            import dataclasses as _dc
+            sc = cfg.steps_scaler
+            cfg = _dc.replace(
+                cfg, steps_scaler=1.0,
+                max_steps=int(cfg.max_steps * sc),
+                eval_steps=tuple(int(s * sc) for s in cfg.eval_steps),
+                save_steps=tuple(int(s * sc) for s in cfg.save_steps),
+                sh_degree_interval=int(cfg.sh_degree_interval * sc))
         self.cfg = cfg
         self.log = log
         os.makedirs(cfg.result_dir, exist_ok=True)
         self.parser = data_mod.Parser(cfg.data_dir, factor=cfg.data_factor,
-                                      test_every=cfg.test_every)
+                                      test_every=cfg.test_every,
+                                      normalize=cfg.normalize_world_space,
+                                      image_folder_name=cfg.image_folder_name)
         self.trainset = data_mod.Dataset(self.parser, "train",
                                          load_depths=cfg.depth_loss)
         self.valset = data_mod.Dataset(self.parser, "val")
-        self.scene_scale = self.parser.scene_scale
+        self.scene_scale = self.parser.scene_scale * cfg.global_scale
 
         if cfg.pose_noise > 0:
             # perturb training poses (reference gsplat_trainer pose_noise);
@@ -98,8 +123,15 @@ class Runner:
             c2w[:, :3, 3] += prng.standard_normal((len(c2w), 3)) * cfg.pose_noise
             self.parser.camtoworlds = c2w
 
-        pts = self.parser.points
-        rgb = self.parser.points_rgb.astype(np.float32) / 255.0
+        if cfg.init_type == "random" or len(self.parser.points) == 0:
+            # reference init_type="random": uniform cube scaled to the scene
+            prng = np.random.default_rng(11)
+            ext = cfg.init_extent * self.scene_scale
+            pts = prng.uniform(-ext, ext, (cfg.init_num_pts, 3))
+            rgb = prng.uniform(0, 1, (cfg.init_num_pts, 3))
+        else:
+            pts = self.parser.points
+            rgb = self.parser.points_rgb.astype(np.float32) / 255.0
         capacity = min(int(len(pts) * cfg.capacity_mult) + 1024,
                        cfg.max_capacity)
         self.splats = splats_mod.init_splats(
@@ -121,12 +153,22 @@ class Runner:
         self.aux_state = {}
         if cfg.pose_opt:
             self.aux_params["pose"] = camera_opt.init_pose_adjust(n_imgs)
-            self.aux_tx["pose"] = optax.adam(cfg.pose_opt_lr)
+            # weight decay = the reference's pose_opt_reg (torch Adam
+            # weight_decay on the delta parameters)
+            self.aux_tx["pose"] = optax.chain(
+                optax.add_decayed_weights(cfg.pose_opt_reg),
+                optax.adam(cfg.pose_opt_lr))
         if cfg.app_opt:
-            self.aux_params["app"] = camera_opt.init_appearance(n_imgs)
-            self.aux_tx["app"] = optax.adam(cfg.app_opt_lr)
+            self.aux_params["app"] = camera_opt.init_appearance(
+                n_imgs, embed_dim=cfg.app_embed_dim,
+                sh_degree=cfg.sh_degree)
+            self.aux_tx["app"] = optax.chain(
+                optax.add_decayed_weights(cfg.app_opt_reg),
+                optax.adam(cfg.app_opt_lr))
         if cfg.use_bilateral_grid:
-            self.aux_params["bilgrid"] = bilateral.init_bilateral_grid(n_imgs)
+            gw, gh, gg = cfg.bilateral_grid_shape
+            self.aux_params["bilgrid"] = bilateral.init_bilateral_grid(
+                n_imgs, grid_w=gw, grid_h=gh, grid_g=gg)
             self.aux_tx["bilgrid"] = optax.adam(cfg.bilateral_grid_lr)
         for k in self.aux_params:
             self.aux_state[k] = self.aux_tx[k].init(self.aux_params[k])
@@ -187,7 +229,7 @@ class Runner:
             width=width, height=height, sh_degree=sh_degree,
             tiles_per_gauss=cfg.tiles_per_gauss,
             tile_capacity=cfg.tile_capacity, background=bkgd,
-            means2d_offset=offset)
+            means2d_offset=offset, camera_model=cfg.camera_model)
         return out
 
     def _loss(self, splats, aux, batch, offset, sh_degree, key):
@@ -284,6 +326,19 @@ class Runner:
         for step in range(cfg.max_steps):
             views = [self.trainset[int(rng.integers(0, len(self.trainset)))]
                      for _ in range(cfg.batch_size)]
+            if cfg.patch_size:
+                # random-crop training patches (reference patch_size): crop
+                # the image and shift the principal point accordingly
+                ps = cfg.patch_size
+                for v in views:
+                    Hv, Wv = v["image"].shape[:2]
+                    x0 = int(rng.integers(0, max(Wv - ps, 0) + 1))
+                    y0 = int(rng.integers(0, max(Hv - ps, 0) + 1))
+                    v["image"] = v["image"][y0:y0 + ps, x0:x0 + ps]
+                    K = np.array(v["K"], np.float32)
+                    K[0, 2] -= x0
+                    K[1, 2] -= y0
+                    v["K"] = K
             batch = {
                 "image": jnp.asarray(np.stack([v["image"] for v in views])),
                 "K": jnp.asarray(np.stack([v["K"] for v in views]), jnp.float32),
@@ -372,6 +427,16 @@ class Runner:
                         mem.get("bytes_in_use", 0) / 1024 ** 3, step)
                 except Exception:
                     pass
+                if cfg.tb_save_image:
+                    Hb, Wb = batch["image"].shape[1:3]
+                    out0 = self._render(
+                        self.splats, self.aux_params,
+                        batch["camtoworld"][0], batch["K"][0], Wb, Hb,
+                        sh_degree, batch["image_id"][0], None, jnp.zeros(3))
+                    canvas = np.concatenate(
+                        [np.asarray(batch["image"][0]),
+                         np.clip(np.asarray(out0.rgb), 0, 1)], axis=1)
+                    self.writer.add_image("train/render", canvas, step)
                 self.writer.flush()
             if step + 1 in cfg.eval_steps:
                 self.eval(step + 1)

@@ -166,3 +166,70 @@ def test_pallas_gradients_match_jnp(rng):
         scale = max(np.abs(gj).max(), 1e-8)
         np.testing.assert_allclose(gp, gj, atol=5e-3 * scale,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_projection_camera_models():
+    """ortho / fisheye projection centers match the closed-form mappings
+    (reference gsplat camera_model option, gsplat_trainer.py camera_model)."""
+    import jax.numpy as jnp
+
+    from instantsfm_tpu.gs import projection
+
+    rng = np.random.default_rng(0)
+    G = 64
+    means = rng.uniform(-1, 1, (G, 3)) + [0, 0, 4.0]
+    quats = np.tile([0.0, 0, 0, 1], (G, 1))
+    scales = np.full((G, 3), 0.05)
+    W, H, f = 320, 240, 200.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    view = jnp.eye(4)
+
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            view, K, W, H)
+    pin = projection.project(*args, camera_model="pinhole")
+    ortho = projection.project(*args, camera_model="ortho")
+    fish = projection.project(*args, camera_model="fisheye")
+
+    x, y, z = means[:, 0], means[:, 1], means[:, 2]
+    np.testing.assert_allclose(np.asarray(pin.means2d),
+                               np.stack([f * x / z + W / 2,
+                                         f * y / z + H / 2], -1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ortho.means2d),
+                               np.stack([f * x + W / 2, f * y + H / 2], -1),
+                               rtol=1e-5)
+    r = np.sqrt(x * x + y * y)
+    th = np.arctan2(r, z)
+    np.testing.assert_allclose(np.asarray(fish.means2d),
+                               np.stack([f * x * th / r + W / 2,
+                                         f * y * th / r + H / 2], -1),
+                               rtol=1e-4)
+    # fisheye ~ pinhole for small angles (theta/r -> 1/z)
+    near_axis = r / z < 0.05
+    if near_axis.any():
+        np.testing.assert_allclose(np.asarray(fish.means2d)[near_axis],
+                                   np.asarray(pin.means2d)[near_axis],
+                                   atol=0.5)
+    # covariances stay SPD (conics finite) for all models
+    for p in (pin, ortho, fish):
+        assert np.isfinite(np.asarray(p.conics)[np.asarray(p.valid)]).all()
+
+
+def test_rasterize_fisheye_smoke():
+    import jax.numpy as jnp
+
+    from instantsfm_tpu.gs import rasterize as rz, sh as sh_mod
+
+    rng = np.random.default_rng(1)
+    G, W, H = 500, 160, 120
+    pts = rng.uniform(-2, 2, (G, 3)) + [0, 0, 5.0]
+    cols = rng.uniform(0, 1, (G, 3))
+    sh0 = np.asarray(sh_mod.rgb_to_sh(cols))[:, None, :]
+    out = rz.rasterize(
+        jnp.asarray(pts), jnp.asarray(np.tile([0.0, 0, 0, 1], (G, 1))),
+        jnp.asarray(np.full((G, 3), 0.08)), jnp.asarray(np.full(G, 0.9)),
+        jnp.asarray(sh0), jnp.eye(4),
+        jnp.asarray([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]]),
+        width=W, height=H, sh_degree=0, tiles_per_gauss=9,
+        tile_capacity=128, camera_model="fisheye")
+    rgb = np.asarray(out.rgb)
+    assert np.isfinite(rgb).all() and rgb.max() > 0.05

@@ -218,3 +218,30 @@ def test_trainer_tail_features(tmp_path, rng):
     from instantsfm_tpu.gs import compression as comp_mod
     back = comp_mod.decompress_splats(cdir)
     assert back["means"].shape[1] == 3 and len(back["means"]) > 0
+
+
+def test_trainer_config_surface(tmp_path, rng):
+    """Round-2 config tail: patch_size cropping, random init, steps_scaler,
+    app/pose weight decay, bilateral shape, tb_save_image — short run."""
+    data_dir = _make_gs_scene(tmp_path, rng)
+    cfg = GSConfig(data_dir=data_dir,
+                   result_dir=os.path.join(tmp_path, "out"),
+                   max_steps=20, steps_scaler=0.5,       # -> 10 real steps
+                   eval_steps=(20,), save_steps=(40,),   # -> 10 / 20
+                   sh_degree=1, sh_degree_interval=10,
+                   init_type="random", init_num_pts=400, capacity_mult=1.5,
+                   patch_size=48, pose_opt=True, app_opt=True,
+                   app_embed_dim=8, bilateral_grid_shape=(8, 8, 4),
+                   use_bilateral_grid=True, tile_capacity=128,
+                   tb_every=5, tb_save_image=True)
+    runner = Runner(cfg, log=lambda *a, **k: None)
+    assert runner.cfg.max_steps == 10 and runner.cfg.eval_steps == (10,)
+    assert runner.splats.means.shape[0] >= 400     # random init pool
+    assert runner.aux_params["app"]["embeds"].shape[1] == 8
+    assert runner.aux_params["bilgrid"]["grids"].shape[1:4] == (8, 8, 4)
+    losses = runner.train()
+    assert len(losses) == 10
+    assert np.isfinite(losses).all()
+    import glob
+    imgs = glob.glob(os.path.join(cfg.result_dir, "tb", "train_render_*.png"))
+    assert imgs, "tb_save_image wrote no train renders"
