@@ -409,6 +409,17 @@ def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
     P = pad_to if pad_to else len(rows)
     npdtype = kp_xy.dtype            # pre-cast to the solve dtype by caller
     _sp = span(f"relpose chunk pack P={P} M={M}"); _sp.__enter__()
+    # vectorized pack: one fancy-index scatter per attribute (row k covers
+    # matches [offset[e], offset[e]+n_e) of pair e — same flat (kk, col)
+    # addressing as the writeback)
+    offs = view_graph.match_offset[rows]
+    lens = view_graph.match_offset[rows + 1] - offs
+    kk = np.repeat(np.arange(len(rows)), lens)
+    col = np.arange(len(kk)) - np.repeat(np.cumsum(lens) - lens, lens)
+    flat = np.repeat(offs, lens) + col
+    f1 = kp_offset[view_graph.pair_i[rows]][kk] + view_graph.matches[flat, 0]
+    f2 = kp_offset[view_graph.pair_j[rows]][kk] + view_graph.matches[flat, 1]
+
     x1_pix = np.zeros((P, M, 2), npdtype)
     x2_pix = np.zeros((P, M, 2), npdtype)
     x1_norm = np.zeros((P, M, 2), npdtype)
@@ -416,19 +427,13 @@ def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
     b1 = np.zeros((P, M, 3), npdtype)
     b2 = np.zeros((P, M, 3), npdtype)
     valid = np.zeros((P, M), bool)
-    for k, e in enumerate(rows):
-        m = view_graph.pair_matches(e)
-        i, j = view_graph.pair_i[e], view_graph.pair_j[e]
-        f1 = kp_offset[i] + m[:, 0]
-        f2 = kp_offset[j] + m[:, 1]
-        n = len(m)
-        x1_pix[k, :n] = kp_xy[f1]
-        x2_pix[k, :n] = kp_xy[f2]
-        x1_norm[k, :n] = uv_all[f1]
-        x2_norm[k, :n] = uv_all[f2]
-        b1[k, :n] = kp_bearing[f1]
-        b2[k, :n] = kp_bearing[f2]
-        valid[k, :n] = True
+    x1_pix[kk, col] = kp_xy[f1]
+    x2_pix[kk, col] = kp_xy[f2]
+    x1_norm[kk, col] = uv_all[f1]
+    x2_norm[kk, col] = uv_all[f2]
+    b1[kk, col] = kp_bearing[f1]
+    b2[kk, col] = kp_bearing[f2]
+    valid[kk, col] = True
 
     _sp.__exit__()
     if device is not None:
