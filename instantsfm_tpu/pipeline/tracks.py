@@ -37,26 +37,33 @@ def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict,
     f1 = view_graph.matches[inl, 0].astype(np.int64)
     f2 = view_graph.matches[inl, 1].astype(np.int64)
 
-    node1 = (pi << 32) | f1
-    node2 = (pj << 32) | f2
-    nodes, inv = np.unique(np.concatenate([node1, node2]), return_inverse=True)
-    n_edges = len(node1)
-    e1, e2 = inv[:n_edges], inv[n_edges:]
+    # nodes are the GLOBAL keypoint ids (kp_offset[img] + feat) — already a
+    # dense 0..V-1 space, so no np.unique over packed 64-bit keys is needed
+    # (the unique over 2x|matches| int64 keys was ~6 s at 10.9M matches);
+    # untouched keypoints become singleton components and are dropped below.
+    e1 = images.kp_index(pi, f1)
+    e2 = images.kp_index(pj, f2)
+    n_edges = len(e1)
+    V_all = int(images.kp_offset[-1])
 
-    V = len(nodes)
     from instantsfm_tpu import native
-    labels = native.connected_components(e1, e2, V)
-    if labels is None:  # no C++ toolchain: scipy fallback
+    labels_all = native.connected_components(e1, e2, V_all)
+    if labels_all is None:  # no C++ toolchain: scipy fallback
         import scipy.sparse as sp
         from scipy.sparse.csgraph import connected_components
 
         adj = sp.coo_matrix((np.ones(n_edges, np.int8), (e1, e2)),
-                            shape=(V, V))
-        _, labels = connected_components(adj, directed=False)
+                            shape=(V_all, V_all))
+        _, labels_all = connected_components(adj, directed=False)
 
-    counts = np.bincount(e1, minlength=V) + np.bincount(e2, minlength=V)
-    img = (nodes >> 32).astype(np.int32)
-    feat = (nodes & 0xFFFFFFFF).astype(np.int32)
+    counts_all = np.bincount(e1, minlength=V_all) \
+        + np.bincount(e2, minlength=V_all)
+    nodes = np.nonzero(counts_all)[0]              # touched keypoints only
+    labels = labels_all[nodes]
+    counts = counts_all[nodes]
+    img = (np.searchsorted(images.kp_offset, nodes, side="right") - 1) \
+        .astype(np.int32)
+    feat = (nodes - images.kp_offset[img]).astype(np.int32)
 
     # ---- consistency: same-image spread within a track <= thres (bbox diag)
     order = np.lexsort((feat, img, labels))
