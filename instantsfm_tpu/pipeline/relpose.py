@@ -382,25 +382,61 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
     # parallel over pair tiles): on a multi-chip host every chip estimates
     # its own chunks concurrently.  ISFM_RELPOSE_ONE_DEVICE=1 opts out.
     import os
+
+    from instantsfm_tpu.parallel import multihost
+
     devices = jax.local_devices()
     if os.environ.get("ISFM_RELPOSE_ONE_DEVICE"):
         devices = devices[:1]
-    pending = []
-    n_chunk = 0
+    n_proc = multihost.process_count()
+    rank = multihost.process_index()
+
+    # chunk list (host-sharded across processes by stride; every process
+    # walks the same list so keys stay aligned)
+    chunks = []
     for M, rows in sorted(groups.items()):
         for lo_i in range(0, len(rows), chunk_pairs):
             chunk = rows[lo_i:lo_i + chunk_pairs]
-            pending.append(_process_chunk(
-                view_graph, images.kp_offset, kp_xy, bearings, uv_all,
-                np.array(chunk), M, num_hyps, key, dtype,
-                pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
-                five_point=five_point,
-                num_hyps_minimal=num_hyps_minimal,
-                device=devices[n_chunk % len(devices)]))
+            chunks.append((M, np.array(chunk), key))
             key = jax.random.split(key, 1)[0]
-            n_chunk += 1
-    for out in pending:
-        _writeback_chunk(view_graph, *out)
+
+    pending = []
+    for k, (M, chunk, ck) in enumerate(chunks):
+        if k % n_proc != rank:
+            pending.append(None)             # another process owns this chunk
+            continue
+        pending.append(_process_chunk(
+            view_graph, images.kp_offset, kp_xy, bearings, uv_all,
+            chunk, M, num_hyps, ck, dtype,
+            pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
+            five_point=five_point,
+            num_hyps_minimal=num_hyps_minimal,
+            device=devices[(k // n_proc) % len(devices)]))
+
+    if n_proc == 1:
+        for out in pending:
+            _writeback_chunk(view_graph, *out)
+        return
+
+    # exchange: for each chunk, the owner broadcasts (E, q, t, pass_mask)
+    # via the fixed-shape allgather; everyone writes back the full set
+    for k, (M, chunk, _) in enumerate(chunks):
+        P = chunk_pairs if len(chunk) < chunk_pairs else len(chunk)
+        if pending[k] is not None:
+            rows_k, E, q, t, pm = pending[k]
+            fl = np.concatenate([
+                np.asarray(E, np.float64).reshape(P, 9),
+                np.asarray(q, np.float64).reshape(P, 4),
+                np.asarray(t, np.float64).reshape(P, 3)], axis=1)
+            mask = np.asarray(pm).reshape(P, M)
+        else:
+            fl = np.zeros((P, 16))
+            mask = np.zeros((P, M), bool)
+        owner = k % n_proc
+        g = multihost.allgather_host_arrays(fl)[owner]
+        gm = multihost.allgather_host_arrays(mask)[owner]
+        _writeback_chunk(view_graph, chunk, g[:, :9].reshape(P, 3, 3),
+                         g[:, 9:13], g[:, 13:16], gm)
 
 
 def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,

@@ -71,12 +71,52 @@ cam8, pts8, h8 = optimize_auto(problem, kernel, cfg, params, obs)
 np.testing.assert_allclose(np.asarray(pts8), np.asarray(pts1), atol=1e-8)
 np.testing.assert_allclose(np.asarray(cam8["q"]), np.asarray(cam1["q"]),
                            atol=1e-10)
+
+# ---- host-sharded relpose estimation over the synthetic database: the
+# chunk ownership is strided across the two processes, results exchanged
+dbpath = os.environ["ISFM_TEST_DB"]
+from instantsfm_tpu.io.colmap_db import read_colmap_database
+from instantsfm_tpu.config import Config
+from instantsfm_tpu.pipeline import preprocess, relpose
+
+vg, cams, imgs, fname = read_colmap_database(dbpath)
+preprocess.update_image_pairs_config(vg, cams, imgs)
+preprocess.decompose_relpose(vg, cams, imgs)
+relpose.undistort_images(cams, imgs, jnp.float64)
+relpose.estimate_relative_pose(vg, cams, imgs, dtype=jnp.float64,
+                               chunk_pairs=8)
+if pid == 0:
+    np.savez(os.environ["ISFM_TEST_OUT"], qvec=vg.qvec, tvec=vg.tvec,
+             inlier_mask=vg.inlier_mask, valid=vg.valid)
 print(f"WORKER {pid} OK", flush=True)
 '''
 
 
 @pytest.mark.slow
-def test_two_process_collectives(tmp_path):
+def test_two_process_collectives(tmp_path, rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instantsfm_tpu.config import Config
+    from instantsfm_tpu.io.colmap_db import read_colmap_database
+    from instantsfm_tpu.pipeline import preprocess, relpose
+    from tests.synthetic import make_scene
+    from tests.test_e2e import _write_synthetic_db
+
+    # shared synthetic database for the relpose fan-out check
+    scene = make_scene(num_cams=10, num_pts=200, seed=3, vis_prob=0.9)
+    dbpath = str(tmp_path / "database.db")
+    _write_synthetic_db(scene, dbpath, rng)
+    out_npz = str(tmp_path / "relpose_dist.npz")
+
+    # single-process reference (this test process: 8 virtual CPU devices)
+    vg, cams, imgs, fname = read_colmap_database(dbpath)
+    preprocess.update_image_pairs_config(vg, cams, imgs)
+    preprocess.decompose_relpose(vg, cams, imgs)
+    relpose.undistort_images(cams, imgs, jnp.float64)
+    relpose.estimate_relative_pose(vg, cams, imgs, dtype=jnp.float64,
+                                   chunk_pairs=8)
+
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     with socket.socket() as s:
@@ -84,7 +124,8 @@ def test_two_process_collectives(tmp_path):
         port = s.getsockname()[1]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, ISFM_REPO=repo,
+    env = dict(os.environ, ISFM_REPO=repo, ISFM_TEST_DB=dbpath,
+               ISFM_TEST_OUT=out_npz,
                PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
     env.pop("XLA_FLAGS", None)       # workers set their own device count
     procs = [subprocess.Popen(
@@ -103,3 +144,12 @@ def test_two_process_collectives(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER {pid} OK" in out
+
+    # distributed relpose == single-process relpose (same seeds, strided
+    # chunk ownership + allgather exchange must be value-neutral)
+    import numpy as np
+    dist = np.load(out_npz)
+    np.testing.assert_array_equal(dist["valid"], vg.valid)
+    np.testing.assert_allclose(dist["qvec"], vg.qvec, atol=1e-12)
+    np.testing.assert_allclose(dist["tvec"], vg.tvec, atol=1e-12)
+    np.testing.assert_array_equal(dist["inlier_mask"], vg.inlier_mask)
