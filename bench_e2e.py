@@ -205,8 +205,13 @@ def main():
 
     # cold = first pass in this process (persistent XLA cache may still help
     # across processes); warm = second pass, all compilations cached.
-    cold, _ = run_pipeline(dbpath, num_cams, log)
-    warm, images = run_pipeline(dbpath, num_cams, log)
+    # BENCH_E2E_WARM_ONLY=1 runs a single pass (for big configs).
+    if os.environ.get("BENCH_E2E_WARM_ONLY"):
+        warm, images = run_pipeline(dbpath, num_cams, log)
+        cold = warm
+    else:
+        cold, _ = run_pipeline(dbpath, num_cams, log)
+        warm, images = run_pipeline(dbpath, num_cams, log)
     acc = accuracy_vs_gt(images, dbpath + ".gt.npz")
 
     record = {
