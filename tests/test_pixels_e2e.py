@@ -123,3 +123,18 @@ def test_pixels_to_poses(tmp_path, rng):
     extent = np.linalg.norm(gtC.max(0) - gtC.min(0))
     assert ate.max() < 0.02 * extent, f"ATE {ate}"
     assert rot.max() < 0.5, f"rotation errors {rot}"
+
+    # ---- BASELINE.md "full pipeline including 3DGS training from raw
+    # images": train a short 3DGS run on the reconstruction we just made
+    from instantsfm_tpu.gs.trainer import GSConfig, Runner
+
+    cfg = GSConfig(data_dir=work, result_dir=os.path.join(work, "gs_out"),
+                   max_steps=50, eval_steps=(50,), save_steps=(),
+                   sh_degree=1, sh_degree_interval=20, capacity_mult=2.0,
+                   tile_capacity=256)
+    runner = Runner(cfg, log=lambda *a, **k: None)
+    losses = runner.train()
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:5]), \
+        f"3DGS loss did not improve: {losses[:5]} -> {losses[-10:]}"
+    assert runner.stats[50]["psnr"] > 12, runner.stats[50]
