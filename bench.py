@@ -160,10 +160,11 @@ def main():
     # bound, so roofline_frac is conservative (the true fraction is >= it).
     from instantsfm_tpu.utils.roofline import (analyze, analyze_analytic,
                                                lm_step_cost)
-    O = num_pts * obs_per_pt
+    # post-bucketize padded sizes — what the compiled step actually moves
+    O = int(obs.valid.shape[0])
     T = int(params.pts.shape[0])
-    cost = lm_step_cost(O=O, C=num_cams, T=T, PC=8, res_dim=2,
-                        cg_iters=cfg.pcg_iters)
+    cost = lm_step_cost(O=O, C=num_cams, T=T, PC=problem.cam_dim,
+                        res_dim=problem.res_dim, cg_iters=cfg.pcg_iters)
     rl = analyze_analytic(cost, dt / N)
     rec.update({
         "vs_baseline": round(rl.roofline_frac, 3),
