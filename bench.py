@@ -141,8 +141,6 @@ def main():
     dt = time.perf_counter() - t0
     iters_per_sec = N / dt
 
-    # roofline: FLOPs + HBM bytes per step from the compiled cost model
-    from instantsfm_tpu.utils.roofline import analyze
     rec = {
         "metric": "ba_iters_per_sec",
         "value": round(iters_per_sec, 3),

@@ -152,17 +152,23 @@ def lm_step_cost(O: int, C: int, T: int, PC: int, res_dim: int = 2,
 
 
 def analyze_analytic(cost: LMStepCost, t_step: float, device=None,
-                     matmul_f32: bool = True) -> Roofline:
+                     matmul_f32: bool = True, spec: ChipSpec = None) -> Roofline:
     """Roofline from the analytic model.  ``matmul_f32``: the hot matmuls
-    (one-hot reductions) run at HIGHEST precision, ~1/4 the bf16 MXU rate."""
-    spec = chip_spec(device)
+    (one-hot reductions) run at HIGHEST precision, ~1/4 the bf16 MXU rate.
+    ``spec`` overrides device detection (tests inject a synthetic chip)."""
+    spec = spec or chip_spec(device)
     peak_f = spec.peak_flops / 4 if matmul_f32 else spec.peak_flops
     t_c = cost.flops / peak_f
     t_m = cost.hbm_bytes / spec.peak_bw
     t_light = max(t_c, t_m)
     frac = t_light / t_step if t_step > 0 else 0.0
     bound = "compute" if t_c >= t_m else "memory"
-    if frac < 0.25:
+    if frac > 1.02:
+        # the model is a LOWER bound on traffic — exceeding it means the
+        # accounting over-counted; flag instead of reporting a perfect 1.0
+        bound = "unreliable (analytic model over-counts)"
+        frac = float("nan")
+    elif frac < 0.25:
         bound += " (model lower-bound; step is launch/latency dominated)"
     return Roofline(
         flops=cost.flops, hbm_bytes=cost.hbm_bytes, t_light=t_light,
