@@ -108,14 +108,25 @@ def main():
 
     # bucketed track layout (the TPU fast path used by the pipeline stages)
     from instantsfm_tpu.solve.blocked import bucketize_problem
-    params, obs, buckets, point_slots = bucketize_problem(params, obs)
+    from instantsfm_tpu.solve.pallas_schur import default_pallas_tile
+    pallas_tile = default_pallas_tile()
+    params, obs, buckets, point_slots = bucketize_problem(
+        params, obs, span_align=pallas_tile)
 
     # host-driven stepping — the production pattern (the pipeline checks
     # convergence on the host each iteration, like the reference's loop).
     # NB: wrapping the step in lax.scan is ~25x slower on TPU (the nested
     # reject while_loop defeats XLA's buffer reuse inside scan).
+    cam_buckets, cam_arrays = (), None
+    if os.environ.get("ISFM_CAMSORT"):
+        from instantsfm_tpu.ops.camsort import camsort_layout, device_arrays
+        cs = camsort_layout(np.asarray(obs.cam_idx), num_cams)
+        cam_buckets, cam_arrays = cs.buckets, device_arrays(cs)
     step = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
-                                        buckets=buckets))
+                                        buckets=buckets,
+                                        cam_buckets=cam_buckets,
+                                        cam_arrays=cam_arrays,
+                                        pallas_tile=pallas_tile))
 
     def fresh_state():
         return LMState(params, jnp.asarray(1e-4, params.pts.dtype),

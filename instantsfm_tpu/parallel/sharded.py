@@ -352,11 +352,24 @@ def optimize_auto(problem, kernel, cfg: LMConfig, params: Params,
     shard = n_dev > 1 and not os.environ.get("ISFM_NO_SHARD")
 
     if not shard:
+        from instantsfm_tpu.solve.pallas_schur import default_pallas_tile
+        pallas_tile = default_pallas_tile()
         params_b, obs_b, buckets, point_slots = bucketize_problem(
-            params, obs, track_pad=track_pad)
+            params, obs, track_pad=track_pad, span_align=pallas_tile)
+        cam_buckets, cam_arrays = (), None
+        if os.environ.get("ISFM_CAMSORT"):
+            # static camera-sorted reduction layout (ops/camsort.py): turns
+            # every per-camera segment-sum into gather + reshape-sums
+            from instantsfm_tpu.ops.camsort import (camsort_layout,
+                                                    device_arrays)
+            C = jax.tree_util.tree_leaves(params_b.cam)[0].shape[0]
+            cs = camsort_layout(np.asarray(obs_b.cam_idx), C)
+            cam_buckets, cam_arrays = cs.buckets, device_arrays(cs)
         state, history = optimize(problem, kernel, cfg, params_b, obs_b,
                                   verbose=verbose, callback=callback,
-                                  buckets=buckets)
+                                  buckets=buckets, cam_buckets=cam_buckets,
+                                  cam_arrays=cam_arrays,
+                                  pallas_tile=pallas_tile)
         pts = np.asarray(state.params.pts)[point_slots]
         return state.params.cam, pts, history
 

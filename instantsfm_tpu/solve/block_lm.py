@@ -143,8 +143,19 @@ def cam_reduce(vals, cam_idx, C: int, chunk: int = 32768):
     return jax.lax.fori_loop(0, nch, body, jnp.zeros((C, K), vals.dtype))
 
 
-def _seg_by_cam(x, cam_idx, C):
-    """Camera-indexed reduction of [O, ...] -> [C, ...] via cam_reduce."""
+def _seg_by_cam(x, cam_idx, C, cam_buckets=(), cam_arrays=None):
+    """Camera-indexed reduction of [O, ...] -> [C, ...].
+
+    With a static camera-sorted layout (``ops/camsort.py``) the reduction is
+    a permutation gather + padded reshape-sums (O(O) traffic); otherwise the
+    chunked one-hot MXU contraction (the shard_map-compatible path)."""
+    if cam_buckets:
+        from instantsfm_tpu.ops.camsort import cam_reduce_sorted
+        take, cam_slots = cam_arrays
+        shape = x.shape
+        out = cam_reduce_sorted(x.reshape(shape[0], -1), cam_buckets,
+                                take, cam_slots)
+        return out.reshape((C,) + shape[1:])
     shape = x.shape
     out = cam_reduce(x.reshape(shape[0], -1), cam_idx, C)
     return out.reshape((C,) + shape[1:])
@@ -218,7 +229,8 @@ def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
 def build_system(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel,
                  num_points: int, buckets: tuple = (),
-                 axis_name: str = None) -> NormalSystem:
+                 axis_name: str = None, cam_buckets: tuple = (),
+                 cam_arrays=None) -> NormalSystem:
     """Evaluate residuals + per-block Jacobians, apply robust whitening and
     (optionally) eliminate per-observation scalars; reduce into U/V/W/g."""
     PC, R = problem.cam_dim, problem.res_dim
@@ -279,8 +291,10 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     gc_o = -jnp.sum(Jc * r[:, :, None], axis=1)            # [O, PC]
     gp_o = -jnp.sum(Jp * r[:, :, None], axis=1)            # [O, 3]
 
-    U = _ar(_seg_by_cam(U_o, obs.cam_idx, C), axis_name)
-    g_cam = _ar(_seg_by_cam(gc_o, obs.cam_idx, C), axis_name)
+    U = _ar(_seg_by_cam(U_o, obs.cam_idx, C, cam_buckets, cam_arrays),
+            axis_name)
+    g_cam = _ar(_seg_by_cam(gc_o, obs.cam_idx, C, cam_buckets, cam_arrays),
+                axis_name)
     # observations are sorted by point (CSR track layout) throughout the
     # pipeline; padded tails use the last point index so sortedness holds.
     # Under shard_map the point axis is shard-local (points partitioned with
@@ -356,7 +370,9 @@ def _tri3_solve(L, B):
 def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                  lam, pcg_iters: int = 100, pcg_tol: float = 1e-5,
                  eps: float = 1e-8, dense_schur: Optional[bool] = None,
-                 buckets: tuple = (), axis_name: str = None):
+                 buckets: tuple = (), axis_name: str = None,
+                 cam_buckets: tuple = (), cam_arrays=None,
+                 pallas_tile: int = 0):
     """Solve (H + lam diag(H)) dx = g via scalar elimination -> point (Schur)
     elimination -> reduced camera system.  The reduced system is solved either
     exactly by dense Cholesky (``dense_schur``, the MXU-friendly fast path for
@@ -378,6 +394,9 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     U, V, W = sys.U, sys.V, sys.W
     g_cam, g_pt = sys.g_cam, sys.g_pt
 
+    def seg_cam(v):
+        return _seg_by_cam(v, obs.cam_idx, C, cam_buckets, cam_arrays)
+
     if problem.has_scales:
         # eliminate per-observation scalar: damped Hss, rank-1 downdates.
         Hss_d = sys.Hss * (1.0 + lam) + eps
@@ -388,10 +407,10 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         W_corr = sys.Jc_s[:, :, None] * sys.Jp_s[:, None, :] * ih
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
-        U = U - _ar(_seg_by_cam(U_corr, obs.cam_idx, C), axis_name)
+        U = U - _ar(seg_cam(U_corr), axis_name)
         V = V - _seg_by_pt(V_corr, obs.pt_idx, T, buckets)
         W = W - W_corr
-        g_cam = g_cam - _ar(_seg_by_cam(gc_corr, obs.cam_idx, C), axis_name)
+        g_cam = g_cam - _ar(seg_cam(gc_corr), axis_name)
         g_pt = g_pt - _seg_by_pt(gp_corr, obs.pt_idx, T, buckets)
 
     U_d = _damped(U, lam, eps)
@@ -408,9 +427,9 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
 
     O = W.shape[0]
     # rhs: g_cam - W V^-1 g_pt
-    rhs = g_cam - _ar(_seg_by_cam(
-        _mv(W, _gather_by_pt(_mv(V_inv, g_pt), pt_idx, buckets, O)),
-        cam_idx, C), axis_name)
+    rhs = g_cam - _ar(seg_cam(
+        _mv(W, _gather_by_pt(_mv(V_inv, g_pt), pt_idx, buckets, O))),
+        axis_name)
 
     if dense_schur:
         # ---- exact reduced solve: S = blockdiag(U_d) - Yᵀ Y with
@@ -436,21 +455,44 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         d_cam = cho_solve(cf, rhs.reshape(n)).reshape(C, PC)
         iters = jnp.asarray(0, jnp.int32)
     else:
-        def schur_matvec(x):  # x: [C, PC] replicated
-            y = _mv(U_d, x)
-            xg = x[cam_idx]
-            t = _mtv(W, xg)                                       # [O, 3]
-            s_p = _seg_by_pt(t, pt_idx, T, buckets)
-            z = _mv(V_inv, s_p)
-            u = _mv(W, _gather_by_pt(z, pt_idx, buckets, O))      # [O, PC]
-            y2 = _ar(_seg_by_cam(u, cam_idx, C), axis_name)
-            return y - y2
+        # fused Pallas chain (solve/pallas_schur.py) when the bucketed
+        # layout is tile-aligned; exact-f32 XLA chain otherwise
+        use_pallas = False
+        if pallas_tile and buckets and not axis_name and C <= pallas_tile \
+                and PC <= 8:
+            from instantsfm_tpu.solve import pallas_schur as ps
+            _logL = ps.tile_logL(buckets, pallas_tile)
+            use_pallas = _logL is not None and O % pallas_tile == 0
+
+        Vg = _gather_by_pt(V_inv, pt_idx, buckets, O)                 # [O,3,3]
+        if use_pallas:
+            WVt = ps.pack_wvt(W, Vg, PC)
+            cam3 = cam_idx.reshape(-1, 1, pallas_tile)
+            logL_dev = jnp.asarray(_logL)
+            _interp = jax.default_backend() != "tpu"
+
+            def schur_matvec(x):
+                y = _mv(U_d, x)
+                xT = ps.pack_xT(x, pallas_tile)
+                u = ps.schur_wchain(WVt, cam3, xT, logL_dev,
+                                    tile=pallas_tile, interpret=_interp)
+                y2 = _ar(seg_cam(u[:, :PC]), axis_name)
+                return y - y2
+        else:
+            def schur_matvec(x):  # x: [C, PC] replicated
+                y = _mv(U_d, x)
+                xg = x[cam_idx]
+                t = _mtv(W, xg)                                   # [O, 3]
+                s_p = _seg_by_pt(t, pt_idx, T, buckets)
+                z = _mv(V_inv, s_p)
+                u = _mv(W, _gather_by_pt(z, pt_idx, buckets, O))  # [O, PC]
+                y2 = _ar(seg_cam(u), axis_name)
+                return y - y2
 
         # block-Jacobi preconditioner on the Schur diagonal
-        Vg = _gather_by_pt(V_inv, pt_idx, buckets, O)                 # [O,3,3]
         WVi = jnp.sum(W[:, :, :, None] * Vg[:, None, :, :], axis=2)   # [O,PC,3]
         D_corr = jnp.sum(WVi[:, :, None, :] * W[:, None, :, :], -1)   # [O,PC,PC]
-        D = U_d - _ar(_seg_by_cam(D_corr, cam_idx, C), axis_name)
+        D = U_d - _ar(seg_cam(D_corr), axis_name)
         D = D + eps * jnp.eye(PC, dtype=D.dtype)
         D_inv = jnp.linalg.inv(D)
 
@@ -511,7 +553,9 @@ def _apply_step(problem, params: Params, d_cam, d_pt, d_s) -> Params:
 
 def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
             cfg: LMConfig, state: LMState, obs: Observations,
-            buckets: tuple = (), axis_name: str = None) -> LMState:
+            buckets: tuple = (), axis_name: str = None,
+            cam_buckets: tuple = (), cam_arrays=None,
+            pallas_tile: int = 0) -> LMState:
     """One LM iteration: build system once, retry the damped solve with
     increasing damping until the cost decreases (or budget exhausted).
     Mirrors the reference's TrustRegion(up=2.0, down=0.5**4) + reject=30
@@ -519,14 +563,17 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     params = state.params
     T = params.pts.shape[0]
     sys = build_system(problem, params, obs, kernel, num_points=T,
-                       buckets=buckets, axis_name=axis_name)
+                       buckets=buckets, axis_name=axis_name,
+                       cam_buckets=cam_buckets, cam_arrays=cam_arrays)
 
     dense = None if cfg.solver == "auto" else (cfg.solver == "dense")
 
     def try_lam(lam):
         d_cam, d_pt, d_s, _ = solve_damped(
             problem, sys, obs, lam, cfg.pcg_iters, cfg.pcg_tol,
-            dense_schur=dense, buckets=buckets, axis_name=axis_name)
+            dense_schur=dense, buckets=buckets, axis_name=axis_name,
+            cam_buckets=cam_buckets, cam_arrays=cam_arrays,
+            pallas_tile=pallas_tile)
         cand = _apply_step(problem, params, d_cam, d_pt, d_s)
         new_cost = compute_cost(problem, cand, obs, kernel, axis_name=axis_name)
         return cand, new_cost
@@ -562,7 +609,8 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
 def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
              cfg: LMConfig, params: Params, obs: Observations,
              verbose: bool = False, callback=None, buckets: tuple = (),
-             step_fn=None):
+             step_fn=None, cam_buckets: tuple = (), cam_arrays=None,
+             pallas_tile: int = 0):
     """Host-driven LM loop with the reference's moving-window convergence test
     (``bundle_adjustment.py:128-141``): stop when the relative improvement of
     the last `window` losses vs the previous window is below tolerance.
@@ -573,7 +621,9 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     import numpy as np
 
     step = step_fn if step_fn is not None else jax.jit(
-        partial(lm_step, problem, kernel, cfg, buckets=buckets))
+        partial(lm_step, problem, kernel, cfg, buckets=buckets,
+                cam_buckets=cam_buckets, cam_arrays=cam_arrays,
+                pallas_tile=pallas_tile))
     state = LMState(params, jnp.asarray(1.0 / cfg.radius_init,
                                         params.pts.dtype), jnp.asarray(jnp.inf))
     history = []

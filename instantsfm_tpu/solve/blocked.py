@@ -44,12 +44,16 @@ def _bucket_len(n: int) -> int:
 
 
 def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
-              num_points: int, track_pad: int = 256) -> BucketedProblem:
+              num_points: int, track_pad: int = 256,
+              span_align: int = 0) -> BucketedProblem:
     """Inputs are the flat (sorted-by-point) observation arrays.
 
     ``track_pad`` rounds each bucket's track count up to a multiple, so
     repeated solves with mildly different track counts reuse the same jit
     cache (no recompile per BA round); padded tracks are fully invalid.
+    ``span_align`` additionally rounds every bucket's observation span
+    (Tb*L) to a multiple — the Pallas Schur kernel requires tile-aligned
+    bucket spans (solve/pallas_schur.py).
     """
     cam_idx = np.asarray(cam_idx)
     pt_idx = np.asarray(pt_idx)
@@ -85,7 +89,11 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
     for L in sorted(set(sorted_blen.tolist())):
         sel_pts = np.nonzero(sorted_blen == L)[0]
         Tb_real = len(sel_pts)
-        Tb = -(-Tb_real // track_pad) * track_pad if track_pad else Tb_real
+        mult = track_pad or 1
+        if span_align:
+            import math
+            mult = max(mult, span_align // math.gcd(span_align, L))
+        Tb = -(-Tb_real // mult) * mult
         # observations of these new-point indices are contiguous in obs_order
         n_obs_b = int(lengths_all[order_pts[sel_pts]].sum())
         rows = obs_order[obs_cursor: obs_cursor + n_obs_b]
@@ -140,7 +148,8 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
 
 # ------------------------- device-side bucket primitives (static buckets)
 
-def bucketize_problem(params, obs, track_pad: int = 256):
+def bucketize_problem(params, obs, track_pad: int = 256,
+                      span_align: int = 0):
     """Convenience: (Params, Observations) -> bucketed versions + metadata.
 
     Returns (params_b, obs_b, buckets, point_slots): points are scattered into
@@ -153,7 +162,7 @@ def bucketize_problem(params, obs, track_pad: int = 256):
                    {k: np.asarray(v) for k, v in obs.data.items()},
                    np.asarray(obs.valid), np.asarray(params.scales),
                    np.asarray(params.scales_free), params.pts.shape[0],
-                   track_pad=track_pad)
+                   track_pad=track_pad, span_align=span_align)
     dtype = params.pts.dtype
     pts_b = np.zeros((bp.num_slots, 3), np.asarray(params.pts).dtype)
     pts_b[bp.point_slots] = np.asarray(params.pts)

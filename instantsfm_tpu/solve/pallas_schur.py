@@ -1,0 +1,174 @@
+"""Fused Schur-complement matvec chain as a Pallas TPU kernel.
+
+The PCG loop inside every BA/GP LM step applies the reduced-camera operator
+
+    y = U_d x - SUM_cam( W_o  V_inv[pt_o]  SUM_track( W_oᵀ x[cam_o] ) )
+
+25+ times per step.  In pure XLA the per-observation chain crosses ~10
+kernel boundaries whose [O,3]/[O,PC] intermediates are lane-padded (16-42x
+memory amplification at the boundaries) — measured at 45% of the BA step
+(PERF_NOTES.md).  This kernel fuses the whole observation-side chain
+
+    gather x[cam] -> t = Wᵀ xg -> track all-sum -> z = V_inv t -> u = W z
+
+into ONE pass over a component-major W/V_inv stream, so per iteration HBM
+traffic is exactly one read of W+V_inv plus one packed [O,PC] output.
+
+TPU-first design decisions:
+  * component-major layout [40, O']: the long observation axis fills lanes
+    (128-packed); the small component axis sits on sublanes.  Rows 0..23
+    hold W k-major (row k*8+pc = W[o,pc,k]), rows 24..32 hold the
+    per-observation V_inv (row-major 3x3), the rest are zero padding to a
+    sublane-tile multiple.
+  * the camera gather runs on the in-VMEM table x.T (padded to [8, tile])
+    with `tpu.dynamic_gather` (jnp.take_along_axis along lanes) — exact
+    f32, no one-hot matmuls.
+  * the per-track reduction+broadcast is a lane-axis XOR butterfly over the
+    power-of-two track groups of the bucketed layout (solve/blocked.py):
+    after log2(L) predicated roll/select/add steps every lane holds its
+    track's sum.  The per-tile log2(L) arrives via scalar prefetch.
+  * the camera-side scatter of u stays OUTSIDE (ops/camsort.py reshape-sum
+    layout) — arbitrary-index scatter has no fast TPU form, but the static
+    camera-sorted gather+reshape does.
+
+Replaces the role of bae's fused CUDA PCG operator (reference
+``processors/bundle_adjustment.py:115-141``); the surrounding CG loop stays
+in XLA (solve/pcg.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PCP = 8          # padded camera-block rows in the x table / W k-groups
+RW = 40          # WVt rows: 3*PCP of W, 9 of V_inv, 7 zero pad
+
+
+def default_pallas_tile() -> int:
+    """Production gate: the compiled kernel runs on TPU only (interpret mode
+    is for tests); 0 disables.  Override with ISFM_PALLAS_TILE / disable
+    with ISFM_NO_PALLAS=1."""
+    import os
+    if os.environ.get("ISFM_NO_PALLAS"):
+        return 0
+    if os.environ.get("ISFM_PALLAS_TILE"):
+        return int(os.environ["ISFM_PALLAS_TILE"])
+    return 4096 if jax.default_backend() == "tpu" else 0
+
+
+def _kernel(logL_ref, cam_ref, wv_ref, xT_ref, out_ref, s_ref, *, tile):
+    i = pl.program_id(0)
+    WV = wv_ref[:]                                  # [RW, tile]
+    cam = cam_ref[0, 0, :]                          # [tile] int32
+    camb = jnp.broadcast_to(cam[None, :], (PCP, tile))
+    xg = jnp.take_along_axis(xT_ref[:], camb, axis=1)   # [PCP, tile]
+
+    # t_k = sum_pc W[k*PCP + pc] * xg[pc]           -> [3, tile]
+    ts = [jnp.sum(WV[k * PCP:(k + 1) * PCP] * xg, axis=0, keepdims=True)
+          for k in range(3)]
+    t = jnp.concatenate(ts, axis=0)
+
+    # lane-axis XOR butterfly: all-sum within aligned groups of L = 2**logL
+    logL = logL_ref[i]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (3, tile), 1)
+    s_ref[0:3, :] = t
+    for lg in range(int(np.log2(tile))):   # L <= tile by construction
+        @pl.when(lg < logL)
+        def _(lg=lg):
+            m = 1 << lg
+            s = s_ref[0:3, :]
+            right = pltpu.roll(s, m, 1)             # holds s[i - m]
+            left = pltpu.roll(s, tile - m, 1)       # holds s[i + m]
+            s_ref[0:3, :] = s + jnp.where((lane & m) == 0, left, right)
+    sb = s_ref[0:3, :]                              # track sums, broadcast
+
+    # z_k = sum_j V_inv[3k + j] * s_j               -> [3, tile]
+    V = WV[3 * PCP:3 * PCP + 9]
+    zs = [V[3 * k + 0:3 * k + 1] * sb[0:1]
+          + V[3 * k + 1:3 * k + 2] * sb[1:2]
+          + V[3 * k + 2:3 * k + 3] * sb[2:3] for k in range(3)]
+
+    # u_pc = sum_k W[k*PCP + pc] * z_k              -> [PCP, tile]
+    u = (WV[0 * PCP:1 * PCP] * zs[0]
+         + WV[1 * PCP:2 * PCP] * zs[1]
+         + WV[2 * PCP:3 * PCP] * zs[2])
+    out_ref[:] = u.T                                # obs-major [tile, PCP]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def schur_wchain(WVt, cam_tiled, xT, logL, *, tile: int = 4096,
+                 interpret: bool = False):
+    """Apply the fused observation chain.
+
+    WVt:       [RW, O']  component-major W + V_inv stream (see module doc)
+    cam_tiled: [NT, 1, tile] int32 camera index per observation
+    xT:        [PCP, tile] f32 — x.T zero-padded to the tile width
+    logL:      [NT] int32 — log2 track length of each tile's bucket
+    returns u: [O', PCP] obs-major (u = W V_inv sum_track(Wᵀ x[cam]))
+    """
+    NT = cam_tiled.shape[0]
+    dtype = WVt.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RW, tile), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PCP, tile), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, PCP), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, tile), dtype)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT * tile, PCP), dtype),
+        interpret=interpret,
+    )(logL, cam_tiled, WVt, xT)
+
+
+def tile_logL(buckets, tile: int) -> np.ndarray:
+    """Per-tile log2(L) from the static bucket tuple; None if the layout is
+    not tile-aligned (caller falls back to the XLA matvec)."""
+    logs = []
+    for (os_, ps, Tb, L) in buckets:
+        span = Tb * L
+        if os_ % tile or span % tile or L > tile or (L & (L - 1)):
+            return None
+        logs.extend([int(np.log2(L))] * (span // tile))
+    return np.asarray(logs, np.int32)
+
+
+def pack_wvt(W, V_inv_obs, PC: int):
+    """Build the component-major [RW, O'] stream.
+
+    W:         [O, PC, 3] per-observation camera-point Jacobian products
+    V_inv_obs: [O, 3, 3] per-observation (track-broadcast) V_inv
+    """
+    O = W.shape[0]
+    dtype = W.dtype
+    Wt = jnp.transpose(W, (2, 1, 0))                       # [3, PC, O]
+    if PC < PCP:
+        Wt = jnp.concatenate(
+            [Wt, jnp.zeros((3, PCP - PC, O), dtype)], axis=1)
+    Wt = Wt.reshape(3 * PCP, O)
+    Vt = jnp.transpose(V_inv_obs.reshape(O, 9), (1, 0))    # [9, O]
+    pad = jnp.zeros((RW - 3 * PCP - 9, O), dtype)
+    return jnp.concatenate([Wt, Vt, pad], axis=0)
+
+
+def pack_xT(x, tile: int):
+    """[C, PC] -> zero-padded [PCP, tile] lane table for the in-kernel
+    camera gather (requires C <= tile)."""
+    C, PC = x.shape
+    return jnp.pad(x.T, ((0, PCP - PC), (0, tile - C)))
