@@ -467,14 +467,13 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         Vg = _gather_by_pt(V_inv, pt_idx, buckets, O)                 # [O,3,3]
         if use_pallas:
             WVt = ps.pack_wvt(W, Vg, PC)
-            cam3 = cam_idx.reshape(-1, 1, pallas_tile)
             logL_dev = jnp.asarray(_logL)
             _interp = jax.default_backend() != "tpu"
 
             def schur_matvec(x):
                 y = _mv(U_d, x)
-                xT = ps.pack_xT(x, pallas_tile)
-                u = ps.schur_wchain(WVt, cam3, xT, logL_dev,
+                xg = ps.pack_xg(x, cam_idx)
+                u = ps.schur_wchain(WVt, xg, logL_dev,
                                     tile=pallas_tile, interpret=_interp)
                 y2 = _ar(seg_cam(u[:, :PC]), axis_name)
                 return y - y2

@@ -20,16 +20,18 @@ TPU-first design decisions:
     hold W k-major (row k*8+pc = W[o,pc,k]), rows 24..32 hold the
     per-observation V_inv (row-major 3x3), the rest are zero padding to a
     sublane-tile multiple.
-  * the camera gather runs on the in-VMEM table x.T (padded to [8, tile])
-    with `tpu.dynamic_gather` (jnp.take_along_axis along lanes) — exact
-    f32, no one-hot matmuls.
+  * the camera gather stays OUTSIDE in XLA (a small-table row gather is
+    fast there; Mosaic's `tpu.dynamic_gather` cannot index tables wider
+    than one vreg, so an in-kernel gather is not lowerable for C > 128);
+    the kernel consumes the gathered [O', 8] stream and transposes each
+    tile to component-major in VMEM.
   * the per-track reduction+broadcast is a lane-axis XOR butterfly over the
     power-of-two track groups of the bucketed layout (solve/blocked.py):
     after log2(L) predicated roll/select/add steps every lane holds its
     track's sum.  The per-tile log2(L) arrives via scalar prefetch.
-  * the camera-side scatter of u stays OUTSIDE (ops/camsort.py reshape-sum
-    layout) — arbitrary-index scatter has no fast TPU form, but the static
-    camera-sorted gather+reshape does.
+  * the camera-side scatter of u stays OUTSIDE (block_lm.cam_reduce's
+    one-hot MXU contraction) — arbitrary-index scatter has no fast TPU
+    form, and the sorted-layout alternative lost to it (PERF_NOTES.md).
 
 Replaces the role of bae's fused CUDA PCG operator (reference
 ``processors/bundle_adjustment.py:115-141``); the surrounding CG loop stays
@@ -62,12 +64,10 @@ def default_pallas_tile() -> int:
     return 4096 if jax.default_backend() == "tpu" else 0
 
 
-def _kernel(logL_ref, cam_ref, wv_ref, xT_ref, out_ref, s_ref, *, tile):
+def _kernel(logL_ref, wv_ref, xg_ref, out_ref, s_ref, *, tile):
     i = pl.program_id(0)
     WV = wv_ref[:]                                  # [RW, tile]
-    cam = cam_ref[0, 0, :]                          # [tile] int32
-    camb = jnp.broadcast_to(cam[None, :], (PCP, tile))
-    xg = jnp.take_along_axis(xT_ref[:], camb, axis=1)   # [PCP, tile]
+    xg = xg_ref[:].T                                # [PCP, tile]
 
     # t_k = sum_pc W[k*PCP + pc] * xg[pc]           -> [3, tile]
     ts = [jnp.sum(WV[k * PCP:(k + 1) * PCP] * xg, axis=0, keepdims=True)
@@ -102,27 +102,24 @@ def _kernel(logL_ref, cam_ref, wv_ref, xT_ref, out_ref, s_ref, *, tile):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def schur_wchain(WVt, cam_tiled, xT, logL, *, tile: int = 4096,
+def schur_wchain(WVt, xg, logL, *, tile: int = 4096,
                  interpret: bool = False):
     """Apply the fused observation chain.
 
-    WVt:       [RW, O']  component-major W + V_inv stream (see module doc)
-    cam_tiled: [NT, 1, tile] int32 camera index per observation
-    xT:        [PCP, tile] f32 — x.T zero-padded to the tile width
-    logL:      [NT] int32 — log2 track length of each tile's bucket
+    WVt:   [RW, O']  component-major W + V_inv stream (see module doc)
+    xg:    [O', PCP] f32 — x[cam_idx] gathered per observation (XLA-side)
+    logL:  [NT] int32 — log2 track length of each tile's bucket
     returns u: [O', PCP] obs-major (u = W V_inv sum_track(Wᵀ x[cam]))
     """
-    NT = cam_tiled.shape[0]
+    NT = WVt.shape[1] // tile
     dtype = WVt.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((RW, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PCP, tile), lambda i, *_: (0, 0),
+            pl.BlockSpec((tile, PCP), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, PCP), lambda i, *_: (i, 0),
@@ -134,7 +131,7 @@ def schur_wchain(WVt, cam_tiled, xT, logL, *, tile: int = 4096,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT * tile, PCP), dtype),
         interpret=interpret,
-    )(logL, cam_tiled, WVt, xT)
+    )(logL, WVt, xg)
 
 
 def tile_logL(buckets, tile: int) -> np.ndarray:
@@ -167,8 +164,10 @@ def pack_wvt(W, V_inv_obs, PC: int):
     return jnp.concatenate([Wt, Vt, pad], axis=0)
 
 
-def pack_xT(x, tile: int):
-    """[C, PC] -> zero-padded [PCP, tile] lane table for the in-kernel
-    camera gather (requires C <= tile)."""
-    C, PC = x.shape
-    return jnp.pad(x.T, ((0, PCP - PC), (0, tile - C)))
+def pack_xg(x, cam_idx):
+    """[C, PC] -> gathered [O', PCP] stream (zero-padded components)."""
+    xg = x[cam_idx]
+    PC = x.shape[1]
+    if PC < PCP:
+        xg = jnp.pad(xg, ((0, 0), (0, PCP - PC)))
+    return xg

@@ -15,7 +15,7 @@ if MODE == "cpu":
 import jax.numpy as jnp
 import numpy as np
 
-from instantsfm_tpu.solve.pallas_schur import (PCP, pack_wvt, pack_xT,
+from instantsfm_tpu.solve.pallas_schur import (PCP, pack_wvt, pack_xg,
                                                schur_wchain, tile_logL)
 
 
@@ -58,16 +58,16 @@ def run(tile, spans_L, C, PC, interpret):
     W, V_inv, Vg, cam, x, buckets, pt_of_obs, O, T = make_case(
         tile, spans_L, C, PC)
     WVt = pack_wvt(jnp.asarray(W), jnp.asarray(Vg), PC)
-    xT = pack_xT(jnp.asarray(x), tile)
-    cam3 = jnp.asarray(cam).reshape(-1, 1, tile)
+    xg = pack_xg(jnp.asarray(x), jnp.asarray(cam))
     logL = jnp.asarray(tile_logL(tuple(buckets), tile))
-    u = schur_wchain(WVt, cam3, xT, logL, tile=tile, interpret=interpret)
+    u = schur_wchain(WVt, xg, logL, tile=tile, interpret=interpret)
     u = np.asarray(u)[:, :PC]
     want = reference_u(W, V_inv, cam, x, pt_of_obs, T)
     err = np.max(np.abs(u - want) / (1 + np.abs(want)))
-    print(f"tile={tile} spans={spans_L} C={C} PC={PC}: rel err {err:.2e}")
+    print(f"tile={tile} spans={spans_L} C={C} PC={PC}: rel err {err:.2e}",
+          flush=True)
     assert err < 1e-4, err
-    return WVt, cam3, xT, logL
+    return WVt, xg, logL
 
 
 if MODE == "cpu":
@@ -78,15 +78,16 @@ else:
     print("devices:", jax.devices())
     args = run(4096, [(30, 2), (60, 8), (20, 64), (12, 512)], C=200, PC=8,
                interpret=False)
-    WVt, cam3, xT, logL = [jnp.asarray(a) for a in args]
+    WVt, xg, logL = [jnp.asarray(a) for a in args]
     f = jax.jit(lambda *a: schur_wchain(*a, tile=4096, interpret=False))
-    u = f(WVt, cam3, xT, logL); u.block_until_ready()
+    u = f(WVt, xg, logL); float(jnp.sum(u))
     N = 100
     t0 = time.perf_counter()
     for _ in range(N):
-        u = f(WVt, cam3, xT, logL)
-    u.block_until_ready()
+        u = f(WVt, xg, logL)
+    float(jnp.sum(u))
     dt = (time.perf_counter() - t0) / N
     O = WVt.shape[1]
-    gb = (40 * O * 4 + O * 8 * 4) / 1e9
-    print(f"TPU: {dt*1e3:.3f} ms for O'={O} ({gb/dt:.0f} GB/s effective)")
+    gb = (40 * O * 4 + 2 * O * 8 * 4) / 1e9
+    print(f"TPU: {dt*1e3:.3f} ms for O'={O} ({gb/dt:.0f} GB/s effective; "
+          f"~1ms of that is tunnel dispatch)")
