@@ -88,13 +88,30 @@ def generate_database(image_path: str, database_path: str,
 
     from instantsfm_tpu.parallel import multihost
 
-    use_sp = feature_name in ("superpoint", "superpoint_tpu")
+    use_lg = feature_name.endswith("+lightglue")
+    use_sp = feature_name in ("superpoint", "superpoint_tpu",
+                              "superpoint+lightglue")
+    if use_lg and not use_sp:
+        raise RuntimeError(
+            f"feature_name={feature_name!r}: only 'superpoint+lightglue' "
+            "is available (DISK/DeDoDe detectors are not ported)")
+    lg_weights = None
+    if use_lg:
+        from instantsfm_tpu.features import lightglue as lg
+        lg_weights = lg.try_load_default("superpoint")
+        if lg_weights is None:
+            raise RuntimeError(
+                "feature_name='superpoint+lightglue' needs pretrained "
+                f"matcher weights at {lg.default_weights_path('superpoint')}"
+                " — convert the public superpoint_lightglue.pth once with "
+                "features.lightglue.convert_torch_checkpoint(pth) on a "
+                "machine that has it (no egress here)")
     if use_sp:
         from instantsfm_tpu.features import superpoint as sp
         sp_weights = sp.try_load_default()
         if sp_weights is None:
             raise RuntimeError(
-                "feature_name='superpoint' needs pretrained weights at "
+                f"feature_name={feature_name!r} needs pretrained weights at "
                 f"{sp.default_weights_path()} — convert the public "
                 "superpoint_v1.pth once with "
                 "features.superpoint.convert_torch_checkpoint(pth) on a "
@@ -154,8 +171,14 @@ def generate_database(image_path: str, database_path: str,
         pairs = [(i, j) for i in range(len(names))
                  for j in range(i + 1, len(names))]
     t1 = time.time()
+    matcher_fn = None
+    if use_lg:
+        from instantsfm_tpu.features import lightglue as lg
+        size0 = np.asarray(sizes[0], np.float32)
+        matcher_fn = lambda ps: lg.match_all_pairs(
+            kps, descs, valids, size0, lg_weights, pairs=ps)
     all_matches = multihost.match_pairs_distributed(
-        descs, valids, pairs, ratio=match_ratio)
+        descs, valids, pairs, ratio=match_ratio, matcher_fn=matcher_fn)
     log(f"Matching done in {time.time() - t1:.1f}s ({len(all_matches)} pairs)")
 
     if multihost.process_index() != 0:

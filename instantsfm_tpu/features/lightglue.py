@@ -1,0 +1,305 @@
+"""LightGlue learned matcher in JAX (weight-gated).
+
+Closes the last reference capability axis (B11): the reference's best
+front-ends pair SuperPoint/DISK with kornia's CUDA LightGlue
+(``controllers/feature_handler.py:155-207``, matching loop :190-207).  This
+is the same architecture (Lindenberger et al., ICCV 2023) expressed as plain
+XLA ops, batch-padded and masked so one jitted program serves every pair:
+
+* keypoint normalization + learnable Fourier ROTARY position encoding
+  (applied to q/k in self-attention only);
+* 9 transformer layers, each a masked 4-head self-attention block and a
+  bidirectional cross-attention block (qk shared projection), with the
+  concat-FFN residual update of the paper;
+* the sigmoid-log-double-softmax assignment head; mutual-argmax matches
+  above the score threshold.
+
+Static-shape divergence from kornia (documented, quality-neutral): the
+adaptive depth/width early-exit (``depth_confidence``/``width_confidence``)
+is a latency optimization that prunes confident tokens mid-network; under
+jit it would force per-pair recompiles, so this port always runs the full 9
+layers on all tokens — the paper's most accurate operating point.
+
+Weights load from an ``.npz`` produced once by ``convert_torch_checkpoint``
+from the public ``superpoint_lightglue.pth`` / ``disk_lightglue.pth``
+(official LightGlue release or the kornia re-export); without the file,
+matching raises with instructions and the architecture stays unit-tested
+via ``random_weights`` (same pattern as features/superpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DIM = 256
+HEADS = 4
+HEAD_DIM = DIM // HEADS
+N_LAYERS = 9
+
+
+class LightGlueConfig(NamedTuple):
+    filter_threshold: float = 0.1    # kornia/official default
+    max_matches: int = 2048
+
+
+def _linear(x, w, b):
+    return x @ w.T + b
+
+
+def _layernorm(x, g, b, eps=1e-5):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _ffn(x, message, w, p):
+    y = jnp.concatenate([x, message], axis=-1)
+    h = _linear(y, w[f"{p}_ffn0_w"], w[f"{p}_ffn0_b"])
+    h = _layernorm(h, w[f"{p}_ffn_ln_w"], w[f"{p}_ffn_ln_b"])
+    h = jax.nn.gelu(h, approximate=False)
+    return x + _linear(h, w[f"{p}_ffn3_w"], w[f"{p}_ffn3_b"])
+
+
+def _rotary(q, cos, sin):
+    """Interleaved-pair rotation: (q0, q1) -> (q0 c - q1 s, q1 c + q0 s)."""
+    q2 = q.reshape(q.shape[:-1] + (HEAD_DIM // 2, 2))
+    rot = jnp.stack([-q2[..., 1], q2[..., 0]], axis=-1).reshape(q.shape)
+    return q * cos + rot * sin
+
+
+def _heads(x):
+    return x.reshape(x.shape[0], HEADS, HEAD_DIM).transpose(1, 0, 2)
+
+
+def _unheads(x):
+    return x.transpose(1, 0, 2).reshape(x.shape[1], DIM)
+
+
+def _attend(q, k, v, kmask):
+    """q,k,v: [H, M, D]; kmask: [Mk] bool — masked softmax attention."""
+    logits = jnp.einsum("hmd,hnd->hmn", q, k) / jnp.sqrt(
+        jnp.asarray(HEAD_DIM, q.dtype))
+    logits = jnp.where(kmask[None, None, :], logits, -1e30)
+    return jnp.einsum("hmn,hnd->hmd", jax.nn.softmax(logits, axis=-1), v)
+
+
+def _self_block(x, cos, sin, mask, w, i):
+    p = f"l{i}_self"
+    qkv = _linear(x, w[f"{p}_Wqkv_w"], w[f"{p}_Wqkv_b"])
+    q, k, v = [_heads(a) for a in jnp.split(qkv, 3, axis=-1)]
+    q = _rotary(q, cos, sin)
+    k = _rotary(k, cos, sin)
+    msg = _unheads(_attend(q, k, v, mask))
+    msg = _linear(msg, w[f"{p}_out_w"], w[f"{p}_out_b"])
+    return _ffn(x, msg, w, p)
+
+
+def _cross_block(x0, x1, m0, m1, w, i):
+    p = f"l{i}_cross"
+    s = jnp.asarray(HEAD_DIM, x0.dtype) ** -0.25
+    qk0 = _heads(_linear(x0, w[f"{p}_qk_w"], w[f"{p}_qk_b"])) * s
+    qk1 = _heads(_linear(x1, w[f"{p}_qk_w"], w[f"{p}_qk_b"])) * s
+    v0 = _heads(_linear(x0, w[f"{p}_v_w"], w[f"{p}_v_b"]))
+    v1 = _heads(_linear(x1, w[f"{p}_v_w"], w[f"{p}_v_b"]))
+    logits = jnp.einsum("hmd,hnd->hmn", qk0, qk1)
+    l01 = jnp.where(m1[None, None, :], logits, -1e30)
+    l10 = jnp.where(m0[None, None, :], logits.transpose(0, 2, 1), -1e30)
+    msg0 = jnp.einsum("hmn,hnd->hmd", jax.nn.softmax(l01, -1), v1)
+    msg1 = jnp.einsum("hmn,hnd->hmd", jax.nn.softmax(l10, -1), v0)
+    msg0 = _linear(_unheads(msg0), w[f"{p}_out_w"], w[f"{p}_out_b"])
+    msg1 = _linear(_unheads(msg1), w[f"{p}_out_w"], w[f"{p}_out_b"])
+    return _ffn(x0, msg0, w, p), _ffn(x1, msg1, w, p)
+
+
+def _posenc(kpts, size, Wr):
+    """Normalized keypoints -> interleaved rotary cos/sin [1, M, HEAD_DIM]."""
+    shift = size / 2.0
+    scale = jnp.max(size) / 2.0
+    k = (kpts - shift[None, :]) / scale
+    proj = k @ Wr.T                                   # [M, HEAD_DIM/2]
+    emb = jnp.repeat(proj, 2, axis=-1)                # interleaved pairs
+    return jnp.cos(emb)[None], jnp.sin(emb)[None]
+
+
+def _assignment(x0, x1, m0, m1, w):
+    d = jnp.asarray(DIM, x0.dtype)
+    md0 = _linear(x0, w["match_final_w"], w["match_final_b"]) / d ** 0.25
+    md1 = _linear(x1, w["match_final_w"], w["match_final_b"]) / d ** 0.25
+    sim = md0 @ md1.T
+    sim = jnp.where(m0[:, None] & m1[None, :], sim, -1e30)
+    z0 = _linear(x0, w["match_ability_w"], w["match_ability_b"])[:, 0]
+    z1 = _linear(x1, w["match_ability_w"], w["match_ability_b"])[:, 0]
+    certainty = (jax.nn.log_sigmoid(z0)[:, None]
+                 + jax.nn.log_sigmoid(z1)[None, :])
+    scores0 = jax.nn.log_softmax(sim, axis=1)
+    scores1 = jax.nn.log_softmax(sim, axis=0)
+    return scores0 + scores1 + certainty
+
+
+@partial(jax.jit, static_argnames=("max_matches",))
+def _match_pair_jit(kpts0, desc0, m0, kpts1, desc1, m1, size, weights,
+                    threshold, max_matches: int):
+    dtype = desc0.dtype
+    x0 = _linear(desc0, weights["input_proj_w"], weights["input_proj_b"])
+    x1 = _linear(desc1, weights["input_proj_w"], weights["input_proj_b"])
+    cos0, sin0 = _posenc(kpts0, size, weights["posenc_Wr"])
+    cos1, sin1 = _posenc(kpts1, size, weights["posenc_Wr"])
+    for i in range(N_LAYERS):
+        x0 = _self_block(x0, cos0, sin0, m0, weights, i)
+        x1 = _self_block(x1, cos1, sin1, m1, weights, i)
+        x0, x1 = _cross_block(x0, x1, m0, m1, weights, i)
+    scores = _assignment(x0, x1, m0, m1, weights)      # [M0, M1] log-probs
+
+    best1 = jnp.argmax(scores, axis=1)                 # [M0]
+    best0 = jnp.argmax(scores, axis=0)                 # [M1]
+    mutual = best0[best1] == jnp.arange(scores.shape[0])
+    msc = jnp.exp(jnp.max(scores, axis=1))
+    ok = mutual & (msc > threshold) & m0 & m1[best1]
+    # compact to a fixed match budget
+    order = jnp.argsort(~ok)                           # valid rows first
+    idx0 = order[:max_matches]
+    out = jnp.stack([idx0, best1[idx0]], axis=-1).astype(jnp.int32)
+    count = jnp.minimum(jnp.sum(ok), max_matches).astype(jnp.int32)
+    return out, count, msc
+
+
+def match_pair(kpts0, desc0, valid0, kpts1, desc1, valid1, size, weights,
+               cfg: LightGlueConfig = LightGlueConfig()):
+    """One pair -> (matches [k, 2] int32, scores [k]).  Arrays are the
+    padded per-image (keypoints [M,2], descriptors [M,D], valid [M]) rows
+    the extraction produces; ``size`` is (width, height)."""
+    out, count, msc = _match_pair_jit(
+        jnp.asarray(kpts0), jnp.asarray(desc0), jnp.asarray(valid0),
+        jnp.asarray(kpts1), jnp.asarray(desc1), jnp.asarray(valid1),
+        jnp.asarray(size, jnp.asarray(desc0).dtype), weights,
+        cfg.filter_threshold, cfg.max_matches)
+    n = int(count)
+    m = np.asarray(out)[:n]
+    return m, np.asarray(msc)[m[:, 0]] if n else np.zeros(0)
+
+
+def match_all_pairs(kpts, descs, valids, size, weights, pairs=None,
+                    cfg: LightGlueConfig = LightGlueConfig()):
+    """{(i, j): matches [k, 2]} over ``pairs`` (exhaustive by default)."""
+    n = len(descs)
+    if pairs is None:
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    out = {}
+    for (i, j) in pairs:
+        m, _ = match_pair(kpts[i], descs[i], valids[i],
+                          kpts[j], descs[j], valids[j], size, weights, cfg)
+        out[(i, j)] = m
+    return out
+
+
+# ------------------------------------------------------------------ weights
+
+def default_weights_path(features: str = "superpoint") -> str:
+    env = os.environ.get("INSTANTSFM_LIGHTGLUE_WEIGHTS")
+    if env:
+        return env
+    return os.path.join(os.path.expanduser("~"), ".cache", "instantsfm_tpu",
+                        f"{features}_lightglue.npz")
+
+
+def load_weights(path: str) -> dict:
+    z = np.load(path)
+    return {k: jnp.asarray(z[k]) for k in z.files}
+
+
+def try_load_default(features: str = "superpoint"):
+    path = default_weights_path(features)
+    return load_weights(path) if os.path.exists(path) else None
+
+
+def random_weights(key, input_dim: int = 256, dtype=jnp.float32) -> dict:
+    """Architecture-shaped random weights (tests / smoke only)."""
+    w = {}
+
+    def lin(key, name, dout, din, scale=None):
+        k1, key = jax.random.split(key)
+        s = scale if scale is not None else (1.0 / din) ** 0.5
+        w[f"{name}_w"] = jax.random.normal(k1, (dout, din), dtype) * s
+        w[f"{name}_b"] = jnp.zeros((dout,), dtype)
+        return key
+
+    key = lin(key, "input_proj", DIM, input_dim)
+    k1, key = jax.random.split(key)
+    w["posenc_Wr"] = jax.random.normal(k1, (HEAD_DIM // 2, 2), dtype)
+    for i in range(N_LAYERS):
+        key = lin(key, f"l{i}_self_Wqkv", 3 * DIM, DIM)
+        key = lin(key, f"l{i}_self_out", DIM, DIM)
+        key = lin(key, f"l{i}_self_ffn0", 2 * DIM, 2 * DIM)
+        w[f"l{i}_self_ffn_ln_w"] = jnp.ones((2 * DIM,), dtype)
+        w[f"l{i}_self_ffn_ln_b"] = jnp.zeros((2 * DIM,), dtype)
+        key = lin(key, f"l{i}_self_ffn3", DIM, 2 * DIM, scale=0.02)
+        key = lin(key, f"l{i}_cross_qk", DIM, DIM)
+        key = lin(key, f"l{i}_cross_v", DIM, DIM)
+        key = lin(key, f"l{i}_cross_out", DIM, DIM)
+        key = lin(key, f"l{i}_cross_ffn0", 2 * DIM, 2 * DIM)
+        w[f"l{i}_cross_ffn_ln_w"] = jnp.ones((2 * DIM,), dtype)
+        w[f"l{i}_cross_ffn_ln_b"] = jnp.zeros((2 * DIM,), dtype)
+        key = lin(key, f"l{i}_cross_ffn3", DIM, 2 * DIM, scale=0.02)
+    key = lin(key, "match_final", DIM, DIM)
+    key = lin(key, "match_ability", 1, DIM)
+    return w
+
+
+def convert_torch_checkpoint(pth_path: str, out_path: str = None,
+                             features: str = "superpoint") -> str:
+    """One-time converter: official LightGlue checkpoint
+    (``superpoint_lightglue.pth`` et al.) -> npz.  Run on any machine with
+    torch; this repo only reads the npz."""
+    import torch
+
+    sd = torch.load(pth_path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    # kornia/official prefix variants
+    sd = {k.removeprefix("matcher."): v for k, v in sd.items()}
+
+    def get(*names):
+        for n in names:
+            if n in sd:
+                return sd[n].numpy()
+        raise KeyError(f"none of {names} in checkpoint "
+                       f"(keys: {sorted(sd)[:8]}...)")
+
+    out = {
+        "input_proj_w": get("input_proj.weight"),
+        "input_proj_b": get("input_proj.bias"),
+        "posenc_Wr": get("posenc.Wr.weight"),
+    }
+    for i in range(N_LAYERS):
+        t = f"transformers.{i}"
+        out[f"l{i}_self_Wqkv_w"] = get(f"{t}.self_attn.Wqkv.weight")
+        out[f"l{i}_self_Wqkv_b"] = get(f"{t}.self_attn.Wqkv.bias")
+        out[f"l{i}_self_out_w"] = get(f"{t}.self_attn.out_proj.weight")
+        out[f"l{i}_self_out_b"] = get(f"{t}.self_attn.out_proj.bias")
+        for src, dst in ((0, "ffn0"), (1, "ffn_ln"), (3, "ffn3")):
+            out[f"l{i}_self_{dst}_w"] = get(f"{t}.self_attn.ffn.{src}.weight")
+            out[f"l{i}_self_{dst}_b"] = get(f"{t}.self_attn.ffn.{src}.bias")
+        out[f"l{i}_cross_qk_w"] = get(f"{t}.cross_attn.to_qk.weight")
+        out[f"l{i}_cross_qk_b"] = get(f"{t}.cross_attn.to_qk.bias")
+        out[f"l{i}_cross_v_w"] = get(f"{t}.cross_attn.to_v.weight")
+        out[f"l{i}_cross_v_b"] = get(f"{t}.cross_attn.to_v.bias")
+        out[f"l{i}_cross_out_w"] = get(f"{t}.cross_attn.to_out.weight")
+        out[f"l{i}_cross_out_b"] = get(f"{t}.cross_attn.to_out.bias")
+        for src, dst in ((0, "ffn0"), (1, "ffn_ln"), (3, "ffn3")):
+            out[f"l{i}_cross_{dst}_w"] = get(f"{t}.cross_attn.ffn.{src}.weight")
+            out[f"l{i}_cross_{dst}_b"] = get(f"{t}.cross_attn.ffn.{src}.bias")
+    last = N_LAYERS - 1
+    out["match_final_w"] = get(f"log_assignment.{last}.final_proj.weight")
+    out["match_final_b"] = get(f"log_assignment.{last}.final_proj.bias")
+    out["match_ability_w"] = get(f"log_assignment.{last}.matchability.weight")
+    out["match_ability_b"] = get(f"log_assignment.{last}.matchability.bias")
+    out_path = out_path or default_weights_path(features)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path

@@ -107,23 +107,28 @@ def gather_pair_results(local_idx: np.ndarray, local_vals: np.ndarray,
 
 
 def match_pairs_distributed(descriptors, valids, pairs, ratio=0.8,
-                            max_matches=2048, pair_batch=16):
+                            max_matches=2048, pair_batch=16,
+                            matcher_fn=None):
     """Host-sharded all-pairs matching: each process matches its strided
     slice of ``pairs`` on local devices, then results are all-gathered so
-    every process holds the full {(i, j): matches} dict."""
+    every process holds the full {(i, j): matches} dict.
+
+    ``matcher_fn(pairs_subset) -> {(i, j): matches}`` overrides the default
+    MNN+ratio matcher (the learned LightGlue path passes a closure)."""
     from instantsfm_tpu.features.matching import match_all_pairs
+
+    if matcher_fn is None:
+        matcher_fn = lambda ps: match_all_pairs(
+            descriptors, valids, ratio=ratio, max_matches=max_matches,
+            pair_batch=pair_batch, pairs=ps)
 
     pairs = list(pairs)
     E = len(pairs)
     if process_count() == 1:
-        return match_all_pairs(descriptors, valids, ratio=ratio,
-                               max_matches=max_matches,
-                               pair_batch=pair_batch, pairs=pairs)
+        return matcher_fn(pairs)
 
     mine = local_pair_slice(E)
-    local = match_all_pairs(descriptors, valids, ratio=ratio,
-                            max_matches=max_matches, pair_batch=pair_batch,
-                            pairs=[pairs[k] for k in mine])
+    local = matcher_fn([pairs[k] for k in mine])
     # pack to fixed shape [p, max_matches, 2] + counts for the exchange
     vals = np.full((len(mine), max_matches, 2), -1, np.int32)
     cnts = np.zeros(len(mine), np.int32)
