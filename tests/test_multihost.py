@@ -88,6 +88,21 @@ relpose.estimate_relative_pose(vg, cams, imgs, dtype=jnp.float64,
 if pid == 0:
     np.savez(os.environ["ISFM_TEST_OUT"], qvec=vg.qvec, tvec=vg.tvec,
              inlier_mask=vg.inlier_mask, valid=vg.valid)
+
+# ---- FULL mapper end-to-end under 2 processes (VERDICT r2 item 5): the
+# global mapper runs with its production solves shard_mapped over the
+# cross-process 8-device mesh; optimize_auto's _fetch_global allgathers the
+# non-addressable point shards.  pid 0 saves the recovered poses.
+from instantsfm_tpu.pipeline.mapper import solve_global_mapper
+vg2, cams2, imgs2, fname2 = read_colmap_database(dbpath)
+config2 = Config(fname2)
+cams2, imgs2, tracks2, _ = solve_global_mapper(
+    vg2, cams2, imgs2, config2, log=lambda *a, **k: None)
+assert int(imgs2.registered.sum()) == imgs2.num_images
+if pid == 0:
+    np.savez(os.environ["ISFM_TEST_OUT"] + ".mapper.npz",
+             qvec=imgs2.qvec, tvec=imgs2.tvec,
+             registered=imgs2.registered, xyz=tracks2.xyz)
 print(f"WORKER {pid} OK", flush=True)
 '''
 
@@ -135,7 +150,7 @@ def test_two_process_collectives(tmp_path, rng):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -153,3 +168,22 @@ def test_two_process_collectives(tmp_path, rng):
     np.testing.assert_allclose(dist["qvec"], vg.qvec, atol=1e-12)
     np.testing.assert_allclose(dist["tvec"], vg.tvec, atol=1e-12)
     np.testing.assert_array_equal(dist["inlier_mask"], vg.inlier_mask)
+
+    # mapper under 2 processes == single-process mapper (ISFM_NO_SHARD
+    # reference run in this process; the workers ran the sharded path)
+    from instantsfm_tpu.pipeline.mapper import solve_global_mapper
+    os.environ["ISFM_NO_SHARD"] = "1"
+    try:
+        vg3, cams3, imgs3, fname3 = read_colmap_database(dbpath)
+        cams3, imgs3, tracks3, _ = solve_global_mapper(
+            vg3, cams3, imgs3, Config(fname3), log=lambda *a, **k: None)
+    finally:
+        del os.environ["ISFM_NO_SHARD"]
+    m = np.load(out_npz + ".mapper.npz")
+    np.testing.assert_array_equal(m["registered"], imgs3.registered)
+    # quaternion sign is gauge; compare up to sign
+    q_ref = imgs3.qvec
+    q_d = m["qvec"] * np.sign(np.sum(m["qvec"] * q_ref, -1, keepdims=True)
+                              + 1e-30)
+    np.testing.assert_allclose(q_d, q_ref, atol=1e-5)
+    np.testing.assert_allclose(m["tvec"], imgs3.tvec, atol=1e-4)
