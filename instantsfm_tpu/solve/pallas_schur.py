@@ -53,15 +53,17 @@ RW = 40          # WVt rows: 3*PCP of W, 9 of V_inv, 7 zero pad
 
 
 def default_pallas_tile() -> int:
-    """Production gate: the compiled kernel runs on TPU only (interpret mode
-    is for tests); 0 disables.  Override with ISFM_PALLAS_TILE / disable
-    with ISFM_NO_PALLAS=1."""
+    """Opt-in gate (ISFM_PALLAS_TILE=4096): measured on v5e the fused chain
+    runs at its HBM roofline (~0.125 ms per 450k-obs matvec) but the
+    standalone x[cam_idx] gather it forces costs ~1 ms (XLA materializes
+    small-table row gathers latency-bound), while XLA's own loop FUSES that
+    gather for free — so the kernel nets ~3 it/s SLOWER at the default BA
+    config (19.1 vs 22.1).  Kept for large-O configs and future Mosaic
+    gather support; see PERF_NOTES.md."""
     import os
-    if os.environ.get("ISFM_NO_PALLAS"):
-        return 0
     if os.environ.get("ISFM_PALLAS_TILE"):
         return int(os.environ["ISFM_PALLAS_TILE"])
-    return 4096 if jax.default_backend() == "tpu" else 0
+    return 0
 
 
 def _kernel(logL_ref, wv_ref, xg_ref, out_ref, s_ref, *, tile):
