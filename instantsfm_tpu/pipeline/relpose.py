@@ -19,6 +19,7 @@ Behavior parity (reference ``estimate_pair_relative_pose_opencv``):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -400,18 +401,27 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
             chunks.append((M, np.array(chunk), key))
             key = jax.random.split(key, 1)[0]
 
+    # scene tables ship once per participating device (~tens of MB);
+    # per-chunk h2d is then just the pair-id list + PRNG key
+    n_my_chunks = len(range(rank, len(chunks), n_proc))
+    used_devices = devices[:max(1, min(len(devices), n_my_chunks))]
+    with span(f"relpose device tables x{len(used_devices)}"):
+        tables = {d: build_device_tables(view_graph, images.kp_offset,
+                                         kp_xy, uv_all, bearings, device=d)
+                  for d in used_devices}
+
     pending = []
     for k, (M, chunk, ck) in enumerate(chunks):
         if k % n_proc != rank:
             pending.append(None)             # another process owns this chunk
             continue
+        dev = used_devices[(k // n_proc) % len(used_devices)]
         pending.append(_process_chunk(
-            view_graph, images.kp_offset, kp_xy, bearings, uv_all,
-            chunk, M, num_hyps, ck, dtype,
+            view_graph, tables[dev], chunk, M, num_hyps, ck, dtype,
             pad_to=chunk_pairs if len(chunk) < chunk_pairs else None,
             five_point=five_point,
             num_hyps_minimal=num_hyps_minimal,
-            device=devices[(k // n_proc) % len(devices)]))
+            device=dev))
 
     if n_proc == 1:
         for out in pending:
@@ -439,45 +449,68 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
                          g[:, 9:13], g[:, 13:16], gm)
 
 
-def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
+class _DevTables(NamedTuple):
+    """Per-device scene tables for device-side chunk packing.
+
+    Host-side packing + per-chunk transfer of the padded [P, M, ...] arrays
+    was the relpose wall (measured: ~0.9 s host fancy-indexing plus 1.2-3.6 s
+    of h2d per 256-pair chunk at M=16k — ~60% of the stage).  Instead the
+    keypoint/match tables ship ONCE and every chunk's padded arrays are
+    built on device by contiguous-block gathers (~tens of ms)."""
+    kp: jnp.ndarray            # [total_kp, 8]: xy(2) uv(2) bearing(3) pad
+    matches: jnp.ndarray       # [Nm, 2] int32
+    match_offset: jnp.ndarray  # [E+1] int32
+    kp_base_i: jnp.ndarray     # [E] int32 (kp_offset[pair_i])
+    kp_base_j: jnp.ndarray     # [E] int32
+
+
+def build_device_tables(view_graph, kp_offset, kp_xy, uv_all, bearings,
+                        device=None) -> _DevTables:
+    tab = np.concatenate([kp_xy, uv_all, bearings,
+                          np.zeros((len(kp_xy), 1), kp_xy.dtype)], axis=1)
+    put = (lambda a: jax.device_put(a, device)) if device is not None \
+        else jnp.asarray
+    return _DevTables(
+        kp=put(tab),
+        matches=put(np.asarray(view_graph.matches, np.int32)),
+        match_offset=put(np.asarray(view_graph.match_offset, np.int32)),
+        kp_base_i=put(np.asarray(kp_offset[view_graph.pair_i], np.int32)),
+        kp_base_j=put(np.asarray(kp_offset[view_graph.pair_j], np.int32)))
+
+
+@partial(jax.jit, static_argnames=("M",))
+def _pack_chunk_dev(tables: _DevTables, rows, nreal, M: int):
+    """rows: [P] int32 pair ids (padded slots arbitrary, masked by nreal).
+    Returns padded (x1_pix, x2_pix, x1_norm, x2_norm, b1, b2, valid)."""
+    offs = tables.match_offset[rows]
+    lens = tables.match_offset[rows + 1] - offs
+    col = jnp.arange(M, dtype=jnp.int32)[None, :]
+    valid = (col < lens[:, None]) \
+        & (jnp.arange(rows.shape[0]) < nreal)[:, None]
+    gi = jnp.where(valid, offs[:, None] + col, 0)
+    m = tables.matches[gi]                              # [P, M, 2]
+    f1 = jnp.where(valid, tables.kp_base_i[rows][:, None] + m[..., 0], 0)
+    f2 = jnp.where(valid, tables.kp_base_j[rows][:, None] + m[..., 1], 0)
+    r1 = jnp.where(valid[..., None], tables.kp[f1], 0)
+    r2 = jnp.where(valid[..., None], tables.kp[f2], 0)
+    return (r1[..., 0:2], r2[..., 0:2], r1[..., 2:4], r2[..., 2:4],
+            r1[..., 4:7], r2[..., 4:7], valid)
+
+
+def _process_chunk(view_graph, tables: _DevTables, rows, M,
                    num_hyps, key, dtype, pad_to=None, five_point=True,
                    num_hyps_minimal=192, device=None):
     P = pad_to if pad_to else len(rows)
-    npdtype = kp_xy.dtype            # pre-cast to the solve dtype by caller
-    _sp = span(f"relpose chunk pack P={P} M={M}"); _sp.__enter__()
-    # vectorized pack: one fancy-index scatter per attribute (row k covers
-    # matches [offset[e], offset[e]+n_e) of pair e — same flat (kk, col)
-    # addressing as the writeback)
-    offs = view_graph.match_offset[rows]
-    lens = view_graph.match_offset[rows + 1] - offs
-    kk = np.repeat(np.arange(len(rows)), lens)
-    col = np.arange(len(kk)) - np.repeat(np.cumsum(lens) - lens, lens)
-    flat = np.repeat(offs, lens) + col
-    f1 = kp_offset[view_graph.pair_i[rows]][kk] + view_graph.matches[flat, 0]
-    f2 = kp_offset[view_graph.pair_j[rows]][kk] + view_graph.matches[flat, 1]
-
-    x1_pix = np.zeros((P, M, 2), npdtype)
-    x2_pix = np.zeros((P, M, 2), npdtype)
-    x1_norm = np.zeros((P, M, 2), npdtype)
-    x2_norm = np.zeros((P, M, 2), npdtype)
-    b1 = np.zeros((P, M, 3), npdtype)
-    b2 = np.zeros((P, M, 3), npdtype)
-    valid = np.zeros((P, M), bool)
-    x1_pix[kk, col] = kp_xy[f1]
-    x2_pix[kk, col] = kp_xy[f2]
-    x1_norm[kk, col] = uv_all[f1]
-    x2_norm[kk, col] = uv_all[f2]
-    b1[kk, col] = kp_bearing[f1]
-    b2[kk, col] = kp_bearing[f2]
-    valid[kk, col] = True
-
-    _sp.__exit__()
+    rows_pad = np.zeros(P, np.int32)
+    rows_pad[:len(rows)] = rows
     if device is not None:
-        jd = lambda a: jax.device_put(np.asarray(a, npdtype), device)
         jb = lambda a: jax.device_put(np.asarray(a), device)
     else:
-        jd = lambda a: jnp.asarray(a, dtype)
         jb = jnp.asarray
+    with span(f"relpose chunk pack P={P} M={M}"):
+        x1_pix, x2_pix, x1_norm, x2_norm, b1, b2, valid = _pack_chunk_dev(
+            tables, jb(rows_pad), jb(np.int32(len(rows))), M)
+    jd = lambda a: a                  # arrays are device-resident already
     key_e, key_f, key_h = (jb(k) for k in jax.random.split(key, 3))
 
     # estimation cap: RANSAC sampling/scoring/LO run on a strided subsample of
@@ -486,8 +519,8 @@ def _process_chunk(view_graph, kp_offset, kp_xy, kp_bearing, uv_all, rows, M,
     # ALL matches with the winning models.  Big match buckets thereby reuse
     # the _ESTIMATE_CAP-shaped estimation programs.
     Ms = min(M, _ESTIMATE_CAP)
-    sub = np.arange(Ms) * (M // Ms)
-    ss = (lambda a: a[:, sub]) if M > Ms else (lambda a: a)
+    sub = jnp.arange(Ms) * (M // Ms)
+    ss = (lambda a: jnp.take(a, sub, axis=1)) if M > Ms else (lambda a: a)
 
     e_thresh = jnp.asarray(1e-3**2, dtype)
     if five_point:

@@ -38,7 +38,9 @@ def main():
         view_graph, cameras, images, feature_name = \
             read_colmap_database(dbpath)
         config = Config(feature_name)
-        preprocess.preprocess_view_graph(view_graph, cameras, images, config)
+        preprocess.update_image_pairs_config(view_graph, cameras, images)
+        preprocess.decompose_relpose(view_graph, cameras, images)
+        relpose.undistort_images(cameras, images, jnp.float32)
         return view_graph, cameras, images
 
     view_graph, cameras, images = load()
