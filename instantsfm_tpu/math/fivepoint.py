@@ -105,20 +105,55 @@ def _polymul(a, b):
 # ------------------------------------------------------------ core pipeline
 
 def _nullspace4(x1, x2):
-    """4 smallest right singular vectors of the 5x9 constraint matrix.
+    """Orthonormal basis of the 4-dim nullspace of the 5x9 constraint
+    matrix, via 5 batched Householder reflections (QR of the transpose).
 
     x1, x2: [..., 5, 2] normalized image coords.  Returns basis
     [..., 4, 3, 3] so that E = xs*B0 + ys*B1 + zs*B2 + B3.
-    """
+
+    Any orthonormal nullspace basis is equivalent for Nistér's algorithm
+    (E is re-parameterized over it), so the eigenvector choice of
+    ``eigh(AtA)`` is not needed — and batched small eigh is the TPU wall:
+    measured 12 us per 9x9 on v5e (~600 ms for one RANSAC chunk's 49k
+    samples, 90% of the solver; PERF_NOTES.md).  The unrolled reflections
+    are pure vectorized elementwise ops."""
     u1, v1 = x1[..., 0], x1[..., 1]
     u2, v2 = x2[..., 0], x2[..., 1]
     one = jnp.ones_like(u1)
     rows = jnp.stack([u2 * u1, u2 * v1, u2,
                       v2 * u1, v2 * v1, v2,
                       u1, v1, one], axis=-1)                 # [..., 5, 9]
-    AtA = jnp.einsum("...si,...sj->...ij", rows, rows)
-    _, V = jnp.linalg.eigh(AtA)                              # ascending
-    basis = jnp.swapaxes(V[..., :4], -1, -2)                 # [..., 4, 9]
+    A = jnp.swapaxes(rows, -1, -2)                           # [..., 9, 5]
+    dtype = A.dtype
+    eps = jnp.asarray(1e-30, dtype)
+    idx = jnp.arange(9)
+
+    # Householder QR of A: after k steps column k is zero below the
+    # diagonal.  Store the reflectors (padded to 9) to build Q's tail.
+    vs = []
+    for k in range(5):
+        x = jnp.where(idx >= k, A[..., :, k], 0.0)           # [..., 9]
+        xk = x[..., k]
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1) + eps)
+        alpha = -jnp.sign(jnp.where(xk == 0, 1.0, xk)) * norm
+        v = x - alpha[..., None] * (idx == k)
+        vn = jnp.sqrt(jnp.sum(v * v, axis=-1) + eps)
+        # degenerate column (already zero): identity reflector
+        v = jnp.where((norm > 1e-12)[..., None], v / vn[..., None],
+                      (idx == k).astype(dtype))
+        vs.append(v)
+        A = A - 2.0 * v[..., :, None] * jnp.sum(
+            v[..., :, None] * A, axis=-2, keepdims=True)
+
+    # nullspace columns: q_j = H0 H1 H2 H3 H4 e_{5+j}
+    cols = []
+    for j in range(4):
+        q = jnp.broadcast_to((idx == 5 + j).astype(dtype),
+                             A.shape[:-2] + (9,))
+        for v in reversed(vs):
+            q = q - 2.0 * v * jnp.sum(v * q, axis=-1, keepdims=True)
+        cols.append(q)
+    basis = jnp.stack(cols, axis=-2)                         # [..., 4, 9]
     return basis.reshape(basis.shape[:-1] + (3, 3))
 
 
