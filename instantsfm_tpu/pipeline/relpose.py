@@ -424,29 +424,28 @@ def estimate_relative_pose(view_graph: ViewGraph, cameras: Cameras,
             device=dev))
 
     if n_proc == 1:
-        for out in pending:
-            _writeback_chunk(view_graph, *out)
+        for k, (M, chunk, _) in enumerate(chunks):
+            rows_k, flat, bits = pending[k]
+            P = chunk_pairs if len(chunk) < chunk_pairs else len(chunk)
+            _writeback_chunk(view_graph, rows_k,
+                             *_unpack_chunk(flat, bits, P, M))
         return
 
-    # exchange: for each chunk, the owner broadcasts (E, q, t, pass_mask)
+    # exchange: for each chunk, the owner broadcasts (E, q, t, mask bits)
     # via the fixed-shape allgather; everyone writes back the full set
     for k, (M, chunk, _) in enumerate(chunks):
         P = chunk_pairs if len(chunk) < chunk_pairs else len(chunk)
         if pending[k] is not None:
-            rows_k, E, q, t, pm = pending[k]
-            fl = np.concatenate([
-                np.asarray(E, np.float64).reshape(P, 9),
-                np.asarray(q, np.float64).reshape(P, 4),
-                np.asarray(t, np.float64).reshape(P, 3)], axis=1)
-            mask = np.asarray(pm).reshape(P, M)
+            _, flat, bits = pending[k]
+            fl = np.asarray(flat, np.float64)
+            bm = np.asarray(bits)
         else:
             fl = np.zeros((P, 16))
-            mask = np.zeros((P, M), bool)
+            bm = np.zeros((P, M // 8), np.uint8)
         owner = k % n_proc
         g = multihost.allgather_host_arrays(fl)[owner]
-        gm = multihost.allgather_host_arrays(mask)[owner]
-        _writeback_chunk(view_graph, chunk, g[:, :9].reshape(P, 3, 3),
-                         g[:, 9:13], g[:, 13:16], gm)
+        gm = multihost.allgather_host_arrays(bm)[owner]
+        _writeback_chunk(view_graph, chunk, *_unpack_chunk(g, gm, P, M))
 
 
 class _DevTables(NamedTuple):
@@ -580,7 +579,32 @@ def _process_chunk(view_graph, tables: _DevTables, rows, M,
             pass_mask = _cheirality_pass(Rm, t, jd(b1), jd(b2), sel_inl)
         else:
             q, t, pass_mask = _final_pose(E, jd(b1), jd(b2), sel_inl)
-    return rows, E, q, t, pass_mask
+        # pack results for ONE readback per chunk: mask bits (8x smaller
+        # d2h) + one [P, 16] float block for E/q/t
+        flat = _pack_results(E, q, t)
+        bits = _pack_mask_bits(pass_mask)
+    return rows, flat, bits
+
+
+@jax.jit
+def _pack_results(E, q, t):
+    P = E.shape[0]
+    return jnp.concatenate([E.reshape(P, 9), q, t], axis=1)
+
+
+@jax.jit
+def _pack_mask_bits(mask):
+    P, M = mask.shape
+    b = mask.reshape(P, M // 8, 8).astype(jnp.uint8)
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(b * w, axis=-1, dtype=jnp.uint8)
+
+
+def _unpack_chunk(flat, bits, P, M):
+    fl = np.asarray(flat, np.float64)
+    mask = np.unpackbits(np.asarray(bits), axis=1, bitorder="little",
+                         count=M).astype(bool)
+    return (fl[:, :9].reshape(P, 3, 3), fl[:, 9:13], fl[:, 13:16], mask)
 
 
 def _writeback_chunk(view_graph, rows, E, q, t, pass_mask):
