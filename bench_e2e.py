@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
-                   match_noise=0.4, outlier_frac=0.08):
+                   match_noise=0.4, outlier_frac=0.08, vis_angle=0.9):
     from scipy.spatial.transform import Rotation as R
 
     from instantsfm_tpu.io.colmap_db import ColmapDatabase
@@ -62,7 +62,7 @@ def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
                                         jnp.asarray(xyz)))
         # visibility: in front, in frame, and angularly near the camera
         dang = np.abs(np.angle(np.exp(1j * (pt_angle - angles[i]))))
-        vis = ((xyz[:, 2] > 0.5) & (dang < 0.9)
+        vis = ((xyz[:, 2] > 0.5) & (dang < vis_angle)
                & (xy[:, 0] > 0) & (xy[:, 0] < width)
                & (xy[:, 1] > 0) & (xy[:, 1] < height))
         idx = np.nonzero(vis)[0]
@@ -178,11 +178,16 @@ def run_pipeline(dbpath, num_cams, log):
 def main():
     num_cams = int(os.environ.get("BENCH_E2E_CAMS", "200"))
     num_pts = int(os.environ.get("BENCH_E2E_PTS", "20000"))
+    # visibility cone: at T&T scale (500 imgs / 1M pts, BASELINE config 3)
+    # a narrow cone keeps keypoints/image (~16k) and track lengths (~8)
+    # realistic instead of every camera seeing 29% of the cloud
+    vis_angle = float(os.environ.get("BENCH_E2E_VIS_ANGLE", "0.9"))
     out_json = os.environ.get("BENCH_E2E_OUT")   # optional artifact path
-    dbpath = f"/tmp/bench_e2e_{num_cams}_{num_pts}.db"
+    dbpath = f"/tmp/bench_e2e_{num_cams}_{num_pts}_{vis_angle}.db"
     if not (os.path.exists(dbpath) and os.path.exists(dbpath + ".gt.npz")):
         t0 = time.time()
-        n_pairs, n_matches = build_scene_db(dbpath, num_cams, num_pts)
+        n_pairs, n_matches = build_scene_db(dbpath, num_cams, num_pts,
+                                            vis_angle=vis_angle)
         print(f"[setup] db built in {time.time()-t0:.1f}s "
               f"({n_pairs} pairs, {n_matches} matches)", file=sys.stderr)
 

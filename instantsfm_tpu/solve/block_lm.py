@@ -521,6 +521,29 @@ def _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps):
     return (inv_hss * num)[:, None]
 
 
+_STEP_CACHE = {}
+
+
+def _cached_step(problem, kernel, cfg, buckets, cam_buckets, cam_arrays,
+                 pallas_tile):
+    """One jitted LM step per unique static configuration: the mapper runs
+    several BA/GP rounds per pipeline pass with identical shapes, and a
+    fresh jax.jit(partial(...)) per round would re-trace (~2 s each).
+    cam_arrays (device arrays) are captured as constants, so they key by
+    identity."""
+    key = (problem, kernel, cfg, buckets, cam_buckets,
+           None if cam_arrays is None else tuple(id(a) for a in cam_arrays),
+           pallas_tile)
+    try:
+        return _STEP_CACHE[key]
+    except KeyError:
+        fn = jax.jit(partial(lm_step, problem, kernel, cfg, buckets=buckets,
+                             cam_buckets=cam_buckets, cam_arrays=cam_arrays,
+                             pallas_tile=pallas_tile))
+        _STEP_CACHE[key] = fn
+        return fn
+
+
 @dataclasses.dataclass(frozen=True)
 class LMConfig:
     max_iterations: int = 100
@@ -619,10 +642,8 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     this convergence loop."""
     import numpy as np
 
-    step = step_fn if step_fn is not None else jax.jit(
-        partial(lm_step, problem, kernel, cfg, buckets=buckets,
-                cam_buckets=cam_buckets, cam_arrays=cam_arrays,
-                pallas_tile=pallas_tile))
+    step = step_fn if step_fn is not None else _cached_step(
+        problem, kernel, cfg, buckets, cam_buckets, cam_arrays, pallas_tile)
     state = LMState(params, jnp.asarray(1.0 / cfg.radius_init,
                                         params.pts.dtype), jnp.asarray(jnp.inf))
     history = []

@@ -17,6 +17,7 @@ index-tracking tape:
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -28,10 +29,15 @@ from instantsfm_tpu.scene import cameras as cam_models
 from instantsfm_tpu.solve.block_lm import BlockProblem
 
 
+@lru_cache(maxsize=None)
 def make_ba_problem(model_id: int, optimize_poses: bool = True) -> BlockProblem:
     """Camera block = [6 pose tangent (optional)] ++ [optimizable intrinsics].
 
     cam pytree: {'q': [C,4], 't': [C,3], 'intr': [C,12] full padded params}.
+
+    Memoized: repeated mapper rounds (2-3 BA + retriangulation passes per
+    pipeline run) must receive the IDENTICAL BlockProblem object so the
+    jitted LM step's trace cache hits instead of re-tracing (~2 s/round).
     """
     info = cam_models.get_camera_model_info(model_id)
     opt_idx = jnp.asarray(np.array(info["optimize"], np.int32))
@@ -65,8 +71,10 @@ def make_ba_problem(model_id: int, optimize_poses: bool = True) -> BlockProblem:
                         cam_dim=PC, res_dim=2, has_points=True, has_scales=False)
 
 
+@lru_cache(maxsize=None)
 def make_gp_problem() -> BlockProblem:
-    """Global positioning: cam pytree {'c': [C,3]} camera centers.
+    """Global positioning: cam pytree {'c': [C,3]} camera centers (memoized
+    like make_ba_problem — stable identity keeps jit caches warm).
 
     obs data: {'tx','ty','tz': [O] rotated bearing R^T b components,
     'w': [O] calibrated factor} — scalar leaves so no [O, small] arrays

@@ -16,6 +16,23 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
+from functools import lru_cache, wraps
+
+
+def _memo(fn):
+    """lru_cache with a pass-through for unhashable (traced) arguments:
+    kernels built with concrete floats get stable identity (keeps the LM
+    step's jit cache warm across pipeline rounds); kernels built inside a
+    trace (vgc's cauchy(traced_thres)) just construct normally."""
+    cached = lru_cache(maxsize=None)(fn)
+
+    @wraps(fn)
+    def wrapper(*args):
+        try:
+            return cached(*args)
+        except TypeError:
+            return fn(*args)
+    return wrapper
 
 
 class RobustKernel(NamedTuple):
@@ -25,10 +42,12 @@ class RobustKernel(NamedTuple):
     loss: Callable
 
 
+@_memo
 def trivial() -> RobustKernel:
     return RobustKernel(weight=lambda s: jnp.ones_like(s), loss=lambda s: s)
 
 
+@_memo
 def huber(delta: float) -> RobustKernel:
     """rho(s) = s if s <= delta^2 else 2 delta sqrt(s) - delta^2."""
     d2 = delta * delta
@@ -42,6 +61,7 @@ def huber(delta: float) -> RobustKernel:
     return RobustKernel(weight=weight, loss=loss)
 
 
+@_memo
 def cauchy(c: float) -> RobustKernel:
     """rho(s) = c^2 log(1 + s / c^2)."""
     c2 = c * c
