@@ -186,12 +186,17 @@ def main():
         "hbm_gb_per_iter": round(rl.hbm_bytes / 1e9, 3),
         "traffic_model": "analytic (array-pass lower bound; "
                          "utils/roofline.py:lm_step_cost)",
-        "whats_left": "gap to the lower bound = lane-padded [O,3]/[O,PC] "
-                      "intermediates crossing the ~10 unfused kernel "
-                      "boundaries per CG iteration plus per-kernel launch "
-                      "latency; closing it needs one fused (Pallas) "
-                      "Schur-matvec kernel holding W/V_inv tiles in VMEM "
-                      "across the whole matvec",
+        "whats_left": "the r3 fused Pallas Schur-matvec reaches its own HBM "
+                      "roofline (~0.125 ms/matvec) but nets slower end-to-"
+                      "end: it forces a standalone x[cam_idx] "
+                      "materialization (~1 ms, latency-bound row DMAs) that "
+                      "XLA's fused while-loop body gets for free, and every "
+                      "in-kernel gather alternative costs >=0.3 ms/iter "
+                      "(Mosaic dynamic_gather is single-vreg-table only). "
+                      "XLA's loop is at the structural per-iteration floor "
+                      "for this operator on v5e; remaining headroom is the "
+                      "per-step build/setup passes, not the CG loop "
+                      "(PERF_NOTES.md 2026-08-21)",
     })
     try:
         compiled = step.lower(fresh_state(), obs).compile()

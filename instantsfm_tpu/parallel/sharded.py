@@ -351,11 +351,14 @@ def optimize_auto(problem, kernel, cfg: LMConfig, params: Params,
     n_dev = len(devices)
     shard = n_dev > 1 and not os.environ.get("ISFM_NO_SHARD")
 
+    from instantsfm_tpu.utils.debug import span
+
     if not shard:
         from instantsfm_tpu.solve.pallas_schur import default_pallas_tile
         pallas_tile = default_pallas_tile()
-        params_b, obs_b, buckets, point_slots = bucketize_problem(
-            params, obs, track_pad=track_pad, span_align=pallas_tile)
+        with span("optimize_auto bucketize"):
+            params_b, obs_b, buckets, point_slots = bucketize_problem(
+                params, obs, track_pad=track_pad, span_align=pallas_tile)
         cam_buckets, cam_arrays = (), None
         if os.environ.get("ISFM_CAMSORT"):
             # static camera-sorted reduction layout (ops/camsort.py): turns
@@ -365,12 +368,14 @@ def optimize_auto(problem, kernel, cfg: LMConfig, params: Params,
             C = jax.tree_util.tree_leaves(params_b.cam)[0].shape[0]
             cs = camsort_layout(np.asarray(obs_b.cam_idx), C)
             cam_buckets, cam_arrays = cs.buckets, device_arrays(cs)
-        state, history = optimize(problem, kernel, cfg, params_b, obs_b,
-                                  verbose=verbose, callback=callback,
-                                  buckets=buckets, cam_buckets=cam_buckets,
-                                  cam_arrays=cam_arrays,
-                                  pallas_tile=pallas_tile)
-        pts = np.asarray(state.params.pts)[point_slots]
+        with span("optimize_auto lm loop"):
+            state, history = optimize(problem, kernel, cfg, params_b, obs_b,
+                                      verbose=verbose, callback=callback,
+                                      buckets=buckets, cam_buckets=cam_buckets,
+                                      cam_arrays=cam_arrays,
+                                      pallas_tile=pallas_tile)
+        with span("optimize_auto readback"):
+            pts = np.asarray(state.params.pts)[point_slots]
         return state.params.cam, pts, history
 
     # multi-chip: bucket track counts padded to a multiple of the device

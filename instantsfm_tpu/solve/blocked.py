@@ -78,14 +78,17 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
     obs_order = np.argsort(new_pt_of_obs, kind="stable")
 
     buckets = []
-    out_cam, out_pt, out_valid, out_scales, out_sfree = [], [], [], [], []
-    out_data = {k: [] for k in data}
     obs_cursor = 0
     out_cursor = 0
     pt_cursor = 0        # padded slot cursor
     pt_cursor_real = 0   # real (new-order) point cursor
     sorted_blen = blen[order_pts]
     slot_of_new = np.empty(num_points, np.int64)
+    # First pass: bucket geometry + a single global destination index for
+    # every observation (in obs_order).  Second pass: ONE fancy scatter per
+    # attribute — the per-bucket scatter loop cost 1-2 s of host time per
+    # solve round at e2e scale (ISFM_DEBUG_TIMING breakdown, 2026-08-21).
+    dest = np.empty(len(obs_order), np.int64)
     for L in sorted(set(sorted_blen.tolist())):
         sel_pts = np.nonzero(sorted_blen == L)[0]
         Tb_real = len(sel_pts)
@@ -94,52 +97,46 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
             import math
             mult = max(mult, span_align // math.gcd(span_align, L))
         Tb = -(-Tb_real // mult) * mult
-        # observations of these new-point indices are contiguous in obs_order
         n_obs_b = int(lengths_all[order_pts[sel_pts]].sum())
         rows = obs_order[obs_cursor: obs_cursor + n_obs_b]
-        obs_cursor += n_obs_b
         slot_of_new[pt_cursor_real: pt_cursor_real + Tb_real] = \
             pt_cursor + np.arange(Tb_real)
 
-        # scatter into padded [Tb, L]
         local_pt = point_unperm[pt_idx[rows]] - pt_cursor_real
         pos = np.zeros(len(rows), np.int64)
-        # position within track: running count per local_pt (rows sorted by pt)
         if len(rows):
             first = np.ones(len(rows), bool)
             first[1:] = local_pt[1:] != local_pt[:-1]
             starts = np.nonzero(first)[0]
             pos = np.arange(len(rows)) - np.repeat(starts, np.diff(
                 np.append(starts, len(rows))))
-        pad_shape = (Tb, L)
+        dest[obs_cursor: obs_cursor + n_obs_b] = \
+            out_cursor + local_pt * L + pos
 
-        def padded(a, fill=0):
-            out = np.full(pad_shape + a.shape[1:], fill, a.dtype)
-            out[local_pt, pos] = a[rows]
-            return out.reshape((Tb * L,) + a.shape[1:])
-
-        cam_b = padded(cam_idx)
-        valid_b = padded(valid, fill=False)
-        pt_b = (pt_cursor + np.repeat(np.arange(Tb), L)).astype(np.int32)
-        out_cam.append(cam_b)
-        out_pt.append(pt_b)
-        out_valid.append(valid_b)
-        out_scales.append(padded(scales))
-        out_sfree.append(padded(scales_free, fill=False))
-        for k in data:
-            out_data[k].append(padded(data[k]))
-        buckets.append((out_cursor, pt_cursor, Tb, L))
+        buckets.append((out_cursor, pt_cursor, Tb, int(L)))
+        obs_cursor += n_obs_b
         out_cursor += Tb * L
         pt_cursor += Tb
         pt_cursor_real += Tb_real
 
+    def padded_all(a, fill=0):
+        out = np.full((out_cursor,) + a.shape[1:], fill, a.dtype)
+        out[dest] = a[obs_order]
+        return out
+
+    # padded point ids per bucket (pure arithmetic, no scatter)
+    out_pt = np.concatenate([
+        (ps + np.repeat(np.arange(Tb), L)).astype(np.int32)
+        for (os_, ps, Tb, L) in buckets]) if buckets else \
+        np.zeros(0, np.int32)
+
     return BucketedProblem(
-        cam_idx=np.concatenate(out_cam).astype(np.int32),
-        pt_idx=np.concatenate(out_pt),
-        valid=np.concatenate(out_valid),
-        data={k: np.concatenate(v) for k, v in out_data.items()},
-        scales=np.concatenate(out_scales),
-        scales_free=np.concatenate(out_sfree),
+        cam_idx=padded_all(cam_idx).astype(np.int32),
+        pt_idx=out_pt,
+        valid=padded_all(valid, fill=False),
+        data={k: padded_all(v) for k, v in data.items()},
+        scales=padded_all(scales),
+        scales_free=padded_all(scales_free, fill=False),
         buckets=tuple(buckets),
         point_perm=point_perm, point_unperm=point_unperm,
         num_slots=int(pt_cursor),
