@@ -509,7 +509,6 @@ def _process_chunk(view_graph, tables: _DevTables, rows, M,
     with span(f"relpose chunk pack P={P} M={M}"):
         x1_pix, x2_pix, x1_norm, x2_norm, b1, b2, valid = _pack_chunk_dev(
             tables, jb(rows_pad), jb(np.int32(len(rows))), M)
-    jd = lambda a: a                  # arrays are device-resident already
     key_e, key_f, key_h = (jb(k) for k in jax.random.split(key, 3))
 
     # estimation cap: RANSAC sampling/scoring/LO run on a strided subsample of
@@ -526,15 +525,15 @@ def _process_chunk(view_graph, tables: _DevTables, rows, M,
         from instantsfm_tpu.math.fivepoint import NUM_ROOT_SLOTS
         with span(f"relpose 5pt P={P} M={Ms}"):
             E, _ = _ransac_essential_5pt(
-                jd(ss(x1_norm)), jd(ss(x2_norm)), jb(ss(valid)),
+                ss(x1_norm), ss(x2_norm), ss(valid),
                 key_e, num_hyps_minimal, e_thresh,
                 score_chunk=_auto_chunk(P, Ms, num_hyps_minimal * NUM_ROOT_SLOTS))
     else:
         E, _ = _ransac_fundamental_like(
-            jd(ss(x1_norm)), jd(ss(x2_norm)), jb(ss(valid)), key_e,
+            ss(x1_norm), ss(x2_norm), ss(valid), key_e,
             num_hyps, e_thresh, essential=True,
             score_chunk=_auto_chunk(P, Ms, num_hyps))
-    e_inl = _model_inliers(E, jd(x1_norm), jd(x2_norm), jb(valid),
+    e_inl = _model_inliers(E, x1_norm, x2_norm, valid,
                            e_thresh)
 
     cfgs = view_graph.config[rows]
@@ -549,20 +548,20 @@ def _process_chunk(view_graph, tables: _DevTables, rows, M,
             sel_inl_host = np.array(e_inl)
         if len(uncal):
             F, _ = _ransac_fundamental_like(
-                jd(ss(x1_pix)[uncal]), jd(ss(x2_pix)[uncal]),
-                jb(ss(valid)[uncal]), key_f, num_hyps, pix_thresh,
+                ss(x1_pix)[uncal], ss(x2_pix)[uncal],
+                ss(valid)[uncal], key_f, num_hyps, pix_thresh,
                 essential=False,
                 score_chunk=_auto_chunk(len(uncal), Ms, num_hyps))
-            f_inl = _model_inliers(F, jd(x1_pix[uncal]), jd(x2_pix[uncal]),
+            f_inl = _model_inliers(F, x1_pix[uncal], x2_pix[uncal],
                                    jb(valid[uncal]), pix_thresh)
             view_graph.F_mat[rows[uncal]] = np.asarray(F, np.float64)
             sel_inl_host[uncal] = np.asarray(f_inl)
         if len(planar):
             H, _ = _ransac_homography(
-                jd(ss(x1_pix)[planar]), jd(ss(x2_pix)[planar]),
-                jb(ss(valid)[planar]), key_h, num_hyps, pix_thresh,
+                ss(x1_pix)[planar], ss(x2_pix)[planar],
+                ss(valid)[planar], key_h, num_hyps, pix_thresh,
                 score_chunk=_auto_chunk(len(planar), Ms, num_hyps))
-            h_inl = _model_inliers(H, jd(x1_pix[planar]), jd(x2_pix[planar]),
+            h_inl = _model_inliers(H, x1_pix[planar], x2_pix[planar],
                                    jb(valid[planar]), pix_thresh,
                                    kind="homography")
             view_graph.H_mat[rows[planar]] = np.asarray(H, np.float64)
@@ -574,11 +573,11 @@ def _process_chunk(view_graph, tables: _DevTables, rows, M,
     with span(f"relpose final_pose dispatch P={P} M={M}"):
         if M > Ms:
             # vote for (R, t) on the subsample; cheirality mask on all matches
-            q, Rm, t = _final_pose_qt(E, jd(ss(b1)), jd(ss(b2)),
+            q, Rm, t = _final_pose_qt(E, ss(b1), ss(b2),
                                       ss(sel_inl))
-            pass_mask = _cheirality_pass(Rm, t, jd(b1), jd(b2), sel_inl)
+            pass_mask = _cheirality_pass(Rm, t, b1, b2, sel_inl)
         else:
-            q, t, pass_mask = _final_pose(E, jd(b1), jd(b2), sel_inl)
+            q, t, pass_mask = _final_pose(E, b1, b2, sel_inl)
         # pack results for ONE readback per chunk: mask bits (8x smaller
         # d2h) + one [P, 16] float block for E/q/t
         flat = _pack_results(E, q, t)
