@@ -53,7 +53,7 @@ def test_layout_covers_each_obs_exactly_once():
                 assert len(mine) == 0
 
 
-def test_lm_step_with_camsort_matches_without(rng=None):
+def test_lm_step_with_camsort_matches_without():
     """Full LM step parity: camsort on vs off, bucketed layout."""
     from instantsfm_tpu.solve import robust
     from instantsfm_tpu.solve.block_lm import (LMConfig, LMState, lm_step)
