@@ -153,13 +153,17 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles + 1))
     counts = starts[1:] - starts[:-1]
 
-    # per-tile fixed-capacity gather of sorted gaussian ids; empty slots point
+    # per-tile fixed-capacity slice of sorted gaussian ids; empty slots point
     # at the all-zero sentinel row G of the packed table (opacity 0 => inert,
-    # gradient-free)
-    k_idx = starts[:-1, None] + jnp.arange(tile_capacity)[None, :]
+    # gradient-free).  The windows are CONTIGUOUS, so a vmapped dynamic_slice
+    # (1900 block reads) beats the per-element gather (973k row reads,
+    # latency-bound at ~7 ns/row — 2x measured on v5e); the K-sentinel pad
+    # keeps end-of-array windows in bounds without shifting them.
     k_ok = jnp.arange(tile_capacity)[None, :] < counts[:, None]
-    k_idx = jnp.minimum(k_idx, len(sorted_gauss) - 1)
-    tg = ops.isolate(lambda s, k: s[k], sorted_gauss, k_idx)
+    sg_pad = jnp.concatenate(
+        [sorted_gauss, jnp.full(tile_capacity, G, sorted_gauss.dtype)])
+    tg = jax.vmap(lambda s: jax.lax.dynamic_slice(
+        sg_pad, (s,), (tile_capacity,)))(starts[:-1])
     tile_gauss = jnp.where(k_ok, tg, G)              # [n_tiles, K]
 
     # ONE packed gather for all per-gaussian render data: separate gathers of
