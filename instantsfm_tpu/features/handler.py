@@ -24,17 +24,21 @@ from instantsfm_tpu.scene import cameras as cam_models
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
 
 
-def _load_gray(path, max_size):
+def _load_gray(path, max_size, rgb=False):
     import imageio.v3 as iio
     img = np.asarray(iio.imread(path))
-    if img.ndim == 3:
+    if rgb:
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        img = img[..., :3].astype(np.float32)
+    elif img.ndim == 3:
         img = img[..., :3].astype(np.float32) @ np.array([0.299, 0.587, 0.114],
                                                          np.float32)
     else:
         img = img.astype(np.float32)
     if img.max() > 1.5:
         img = img / 255.0
-    h, w = img.shape
+    h, w = img.shape[:2]
     scale = 1.0
     if max(h, w) > max_size:
         scale = max_size / max(h, w)
@@ -89,24 +93,39 @@ def generate_database(image_path: str, database_path: str,
     from instantsfm_tpu.parallel import multihost
 
     use_lg = feature_name.endswith("+lightglue")
+    use_disk = feature_name in ("disk", "disk+lightglue")
     use_sp = feature_name in ("superpoint", "superpoint_tpu",
                               "superpoint+lightglue")
-    if use_lg and not use_sp:
+    if use_lg and not (use_sp or use_disk):
         raise RuntimeError(
-            f"feature_name={feature_name!r}: only 'superpoint+lightglue' "
-            "is available (DISK/DeDoDe detectors are not ported)")
+            f"feature_name={feature_name!r}: learned front-ends are "
+            "'superpoint[+lightglue]' and 'disk[+lightglue]' "
+            "(DeDoDe is not ported)")
     lg_weights = None
+    lg_kind = "disk" if use_disk else "superpoint"
     if use_lg:
         from instantsfm_tpu.features import lightglue as lg
-        lg_weights = lg.try_load_default("superpoint")
+        lg_weights = lg.try_load_default(lg_kind)
         if lg_weights is None:
             raise RuntimeError(
-                "feature_name='superpoint+lightglue' needs pretrained "
-                f"matcher weights at {lg.default_weights_path('superpoint')}"
-                " — convert the public superpoint_lightglue.pth once with "
+                f"feature_name={feature_name!r} needs pretrained "
+                f"matcher weights at {lg.default_weights_path(lg_kind)}"
+                f" — convert the public {lg_kind}_lightglue.pth once with "
                 "features.lightglue.convert_torch_checkpoint(pth) on a "
                 "machine that has it (no egress here)")
-    if use_sp:
+    if use_disk:
+        from instantsfm_tpu.features import disk as dk
+        dk_weights = dk.try_load_default()
+        if dk_weights is None:
+            raise RuntimeError(
+                f"feature_name={feature_name!r} needs pretrained weights at "
+                f"{dk.default_weights_path()} — convert the public DISK "
+                "depth-save.pth once with "
+                "features.disk.convert_torch_checkpoint(pth) on a machine "
+                "that has it (no egress here)")
+        dk_cfg = dk.DiskConfig(max_keypoints=max_keypoints)
+        desc_dim = dk.DESC_DIM
+    elif use_sp:
         from instantsfm_tpu.features import superpoint as sp
         sp_weights = sp.try_load_default()
         if sp_weights is None:
@@ -126,7 +145,7 @@ def generate_database(image_path: str, database_path: str,
     if not names:
         raise FileNotFoundError(f"no images under {image_path}")
     if match_ratio is None:
-        match_ratio = 0.95 if use_sp else 0.85   # SP: near-MNN pairing
+        match_ratio = 0.95 if (use_sp or use_disk) else 0.85  # near-MNN
 
     t0 = time.time()
     cfg = sift.SiftConfig(max_keypoints=max_keypoints)
@@ -141,8 +160,10 @@ def generate_database(image_path: str, database_path: str,
     size_l = np.zeros((len(mine), 2), np.int64)
     for r, i in enumerate(mine):
         img, scale, (w, h) = _load_gray(os.path.join(image_path, names[i]),
-                                        max_image_size)
-        if use_sp:
+                                        max_image_size, rgb=use_disk)
+        if use_disk:
+            xy, s, d, v = dk.extract(img, dk_weights, dk_cfg)
+        elif use_sp:
             xy, s, d, v = sp.extract(img, sp_weights, sp_cfg)
         else:
             xy, s, ori, d, v = sift.extract(img, cfg)
@@ -172,13 +193,19 @@ def generate_database(image_path: str, database_path: str,
                  for j in range(i + 1, len(names))]
     t1 = time.time()
     matcher_fn = None
+    exchange_cap = 2048   # padded-slot capacity of the multihost exchange
     if use_lg:
         from instantsfm_tpu.features import lightglue as lg
-        size0 = np.asarray(sizes[0], np.float32)
+        # per-image sizes: mixed-resolution sets need each image's own
+        # keypoint normalization for correct rotary encodings (ADVICE r3);
+        # max_matches must not exceed the exchange packing capacity
+        lg_cfg = lg.LightGlueConfig(max_matches=exchange_cap)
         matcher_fn = lambda ps: lg.match_all_pairs(
-            kps, descs, valids, size0, lg_weights, pairs=ps)
+            kps, descs, valids, np.asarray(size_a, np.float32), lg_weights,
+            pairs=ps, cfg=lg_cfg)
     all_matches = multihost.match_pairs_distributed(
-        descs, valids, pairs, ratio=match_ratio, matcher_fn=matcher_fn)
+        descs, valids, pairs, ratio=match_ratio, max_matches=exchange_cap,
+        matcher_fn=matcher_fn)
     log(f"Matching done in {time.time() - t1:.1f}s ({len(all_matches)} pairs)")
 
     if multihost.process_index() != 0:
@@ -199,8 +226,9 @@ def generate_database(image_path: str, database_path: str,
             v = valids[i]
             db.add_keypoints(iid, kps[i][v])
             # uint8 quantization for storage only (matching ran on floats):
-            # SIFT descriptors live in [0, ~0.5], SuperPoint's in [-1, 1]
-            d8 = (descs[i][v] * 128 + 128) if use_sp else descs[i][v] * 512
+            # SIFT descriptors live in [0, ~0.5], SuperPoint/DISK in [-1, 1]
+            d8 = (descs[i][v] * 128 + 128) if (use_sp or use_disk) \
+                else descs[i][v] * 512
             db.add_descriptors(iid, np.clip(d8, 0, 255).astype(np.uint8))
         # valid-compacted keypoint indices
         remap = []

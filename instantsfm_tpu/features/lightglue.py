@@ -142,14 +142,15 @@ def _assignment(x0, x1, m0, m1, w):
     return scores0 + scores1 + certainty
 
 
-@partial(jax.jit, static_argnames=("max_matches",))
-def _match_pair_jit(kpts0, desc0, m0, kpts1, desc1, m1, size, weights,
-                    threshold, max_matches: int):
-    dtype = desc0.dtype
+def _match_core(kpts0, desc0, m0, kpts1, desc1, m1, size0, size1, weights,
+                threshold, max_matches: int):
+    """Unbatched matcher core; per-image sizes (the reference's kornia path
+    carries per-image sizes too — mixed-resolution sets need each image's
+    own normalization for correct rotary encodings, ADVICE r3)."""
     x0 = _linear(desc0, weights["input_proj_w"], weights["input_proj_b"])
     x1 = _linear(desc1, weights["input_proj_w"], weights["input_proj_b"])
-    cos0, sin0 = _posenc(kpts0, size, weights["posenc_Wr"])
-    cos1, sin1 = _posenc(kpts1, size, weights["posenc_Wr"])
+    cos0, sin0 = _posenc(kpts0, size0, weights["posenc_Wr"])
+    cos1, sin1 = _posenc(kpts1, size1, weights["posenc_Wr"])
     for i in range(N_LAYERS):
         x0 = _self_block(x0, cos0, sin0, m0, weights, i)
         x1 = _self_block(x1, cos1, sin1, m1, weights, i)
@@ -169,32 +170,82 @@ def _match_pair_jit(kpts0, desc0, m0, kpts1, desc1, m1, size, weights,
     return out, count, msc
 
 
+@partial(jax.jit, static_argnames=("max_matches",))
+def _match_pair_jit(kpts0, desc0, m0, kpts1, desc1, m1, size0, size1,
+                    weights, threshold, max_matches: int):
+    return _match_core(kpts0, desc0, m0, kpts1, desc1, m1, size0, size1,
+                       weights, threshold, max_matches)
+
+
+@partial(jax.jit, static_argnames=("max_matches",))
+def _match_batch_jit(kpts0, desc0, m0, kpts1, desc1, m1, size0, size1,
+                     weights, threshold, max_matches: int):
+    """Batched matcher: leading pair axis on every per-pair operand; one
+    program per batch size instead of one dispatch + host sync per pair
+    (VERDICT r3 weak #5)."""
+    core = partial(_match_core, weights=weights, threshold=threshold,
+                   max_matches=max_matches)
+    return jax.vmap(core)(kpts0, desc0, m0, kpts1, desc1, m1, size0, size1)
+
+
 def match_pair(kpts0, desc0, valid0, kpts1, desc1, valid1, size, weights,
-               cfg: LightGlueConfig = LightGlueConfig()):
+               cfg: LightGlueConfig = LightGlueConfig(), size1=None):
     """One pair -> (matches [k, 2] int32, scores [k]).  Arrays are the
     padded per-image (keypoints [M,2], descriptors [M,D], valid [M]) rows
-    the extraction produces; ``size`` is (width, height)."""
+    the extraction produces; ``size`` is image 0's (width, height) and
+    ``size1`` image 1's (defaults to ``size``)."""
+    dt = jnp.asarray(desc0).dtype
+    s0 = jnp.asarray(size, dt)
+    s1 = s0 if size1 is None else jnp.asarray(size1, dt)
     out, count, msc = _match_pair_jit(
         jnp.asarray(kpts0), jnp.asarray(desc0), jnp.asarray(valid0),
         jnp.asarray(kpts1), jnp.asarray(desc1), jnp.asarray(valid1),
-        jnp.asarray(size, jnp.asarray(desc0).dtype), weights,
-        cfg.filter_threshold, cfg.max_matches)
+        s0, s1, weights, cfg.filter_threshold, cfg.max_matches)
     n = int(count)
     m = np.asarray(out)[:n]
     return m, np.asarray(msc)[m[:, 0]] if n else np.zeros(0)
 
 
-def match_all_pairs(kpts, descs, valids, size, weights, pairs=None,
-                    cfg: LightGlueConfig = LightGlueConfig()):
-    """{(i, j): matches [k, 2]} over ``pairs`` (exhaustive by default)."""
+def match_all_pairs(kpts, descs, valids, sizes, weights, pairs=None,
+                    cfg: LightGlueConfig = LightGlueConfig(),
+                    batch: int = None):
+    """{(i, j): matches [k, 2]} over ``pairs`` (exhaustive by default).
+
+    ``sizes`` is either one (width, height) for all images or an [N, 2]
+    per-image array.  Pairs run through ONE jitted [B, ...] program per
+    batch with a single readback — ceil(len(pairs)/B) dispatches instead of
+    one jit call + host sync per pair."""
     n = len(descs)
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if not pairs:
+        return {}
+    if batch is None:
+        batch = int(os.environ.get("ISFM_LG_BATCH", "8"))
+    sizes = np.asarray(sizes, np.float32)
+    if sizes.ndim == 1:
+        sizes = np.broadcast_to(sizes, (n, 2))
+
+    kp_a = np.asarray(kpts, np.float32)
+    d_a = np.asarray(descs, np.float32)
+    v_a = np.asarray(valids, bool)
     out = {}
-    for (i, j) in pairs:
-        m, _ = match_pair(kpts[i], descs[i], valids[i],
-                          kpts[j], descs[j], valids[j], size, weights, cfg)
-        out[(i, j)] = m
+    B = max(1, min(batch, len(pairs)))
+    idx = np.asarray(pairs, np.int64)
+    for s in range(0, len(pairs), B):
+        sel = idx[s:s + B]
+        if len(sel) < B:           # pad the tail batch (results discarded)
+            sel = np.concatenate([sel, np.repeat(sel[-1:], B - len(sel), 0)])
+        i0, i1 = sel[:, 0], sel[:, 1]
+        m_b, c_b, _ = _match_batch_jit(
+            jnp.asarray(kp_a[i0]), jnp.asarray(d_a[i0]), jnp.asarray(v_a[i0]),
+            jnp.asarray(kp_a[i1]), jnp.asarray(d_a[i1]), jnp.asarray(v_a[i1]),
+            jnp.asarray(sizes[i0]), jnp.asarray(sizes[i1]),
+            weights, cfg.filter_threshold, cfg.max_matches)
+        m_b = np.asarray(m_b)      # one readback per batch
+        c_b = np.asarray(c_b)
+        for r in range(min(B, len(pairs) - s)):
+            out[tuple(idx[s + r])] = m_b[r, :c_b[r]]
     return out
 
 

@@ -103,8 +103,43 @@ def export_reconstruction(output_path: str, cameras: Cameras, images: Images,
     kp_flat = images.kp_index(t.obs_image[use], t.obs_feature[use])
     kp_p3d[kp_flat] = tr_idx[use]  # dense track index as point3D id
 
+    cluster_path = os.path.join(output_path, "0" if cluster_id == -1
+                                else str(cluster_id))
+    os.makedirs(cluster_path, exist_ok=True)
+
+    img_sel = np.nonzero(sel_img)[0]
+    pt_sel = np.nonzero(pt_keep)[0]
+    if not export_txt:
+        # SoA fast path: serialize straight from the flat scene arrays —
+        # the per-object path below builds one Python object per point
+        # (~35 s at 864k points) and writes element-by-element.
+        cmio.write_cameras_binary(
+            cams_out, os.path.join(cluster_path, "cameras.bin"))
+        sub_off = np.concatenate(
+            [[0], np.cumsum(np.diff(images.kp_offset)[img_sel])])
+        take = np.concatenate(
+            [np.arange(images.kp_offset[i], images.kp_offset[i + 1])
+             for i in img_sel]) if len(img_sel) else np.zeros(0, np.int64)
+        cmio.write_images_binary_soa(
+            os.path.join(cluster_path, "images.bin"),
+            ids=img_sel, qvec_wxyz=images.qvec[img_sel][:, [3, 0, 1, 2]],
+            tvec=images.tvec[img_sel], camera_ids=images.cam_idx[img_sel],
+            names=[images.names[i] for i in img_sel],
+            kp_xy=images.kp_xy[take], kp_offset=sub_off,
+            point3D_ids=kp_p3d[take])
+        keep_obs2 = pt_keep[tr_idx]
+        lengths_k = lengths[pt_sel]
+        obs_off = np.concatenate([[0], np.cumsum(lengths_k)])
+        cmio.write_points3D_binary_soa(
+            os.path.join(cluster_path, "points3D.bin"),
+            ids=pt_sel, xyz=t.xyz[pt_sel], rgb=t.color[pt_sel],
+            errors=np.zeros(len(pt_sel)), obs_offset=obs_off,
+            image_ids=t.obs_image[keep_obs2],
+            point2D_idxs=t.obs_feature[keep_obs2])
+        return cluster_path
+
     imgs_out = []
-    for i in np.nonzero(sel_img)[0]:
+    for i in img_sel:
         sl = slice(images.kp_offset[i], images.kp_offset[i + 1])
         imgs_out.append(cmio.ModelImage(
             id=int(i), qvec_wxyz=_qvec_wxyz(images.qvec[i]),
@@ -113,16 +148,13 @@ def export_reconstruction(output_path: str, cameras: Cameras, images: Images,
             point3D_ids=kp_p3d[sl].copy()))
 
     pts_out = []
-    for p in np.nonzero(pt_keep)[0]:
+    for p in pt_sel:
         sl = slice(t.obs_offset[p], t.obs_offset[p + 1])
         pts_out.append(cmio.ModelPoint3D(
             id=int(p), xyz=t.xyz[p].copy(), rgb=t.color[p].copy(),
             error=0.0, image_ids=t.obs_image[sl].astype(np.int64),
             point2D_idxs=t.obs_feature[sl].astype(np.int64)))
 
-    cluster_path = os.path.join(output_path, "0" if cluster_id == -1
-                                else str(cluster_id))
-    os.makedirs(cluster_path, exist_ok=True)
     cmio.write_model(cams_out, imgs_out, pts_out, cluster_path,
                      binary=not export_txt)
     return cluster_path

@@ -291,16 +291,24 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     gc_o = -jnp.sum(Jc * r[:, :, None], axis=1)            # [O, PC]
     gp_o = -jnp.sum(Jp * r[:, :, None], axis=1)            # [O, 3]
 
-    U = _ar(_seg_by_cam(U_o, obs.cam_idx, C, cam_buckets, cam_arrays),
-            axis_name)
-    g_cam = _ar(_seg_by_cam(gc_o, obs.cam_idx, C, cam_buckets, cam_arrays),
-                axis_name)
+    # U and g_cam reduce in ONE camera-axis pass (the chunked one-hot loop
+    # materializes its one-hot per call; concatenating the operands halves
+    # that traffic — r4, VERDICT directive 1)
+    O_n = r.shape[0]
+    Ug = _ar(_seg_by_cam(
+        jnp.concatenate([U_o.reshape(O_n, PC * PC), gc_o], axis=1),
+        obs.cam_idx, C, cam_buckets, cam_arrays), axis_name)
+    U = Ug[:, :PC * PC].reshape(C, PC, PC)
+    g_cam = Ug[:, PC * PC:]
     # observations are sorted by point (CSR track layout) throughout the
     # pipeline; padded tails use the last point index so sortedness holds.
     # Under shard_map the point axis is shard-local (points partitioned with
-    # their observations) — V/g_pt need no collective.
-    V = _seg_by_pt(V_o, obs.pt_idx, num_points, buckets)
-    g_pt = _seg_by_pt(gp_o, obs.pt_idx, num_points, buckets)
+    # their observations) — V/g_pt need no collective.  Same single-pass
+    # fusion on the point axis.
+    Vg_ = _seg_by_pt(jnp.concatenate([V_o.reshape(O_n, 9), gp_o], axis=1),
+                     obs.pt_idx, num_points, buckets)
+    V = Vg_[:, :9].reshape(num_points, 3, 3)
+    g_pt = Vg_[:, 9:]
 
     return NormalSystem(U=U, V=V, W=W.reshape(-1), g_cam=g_cam, g_pt=g_pt,
                         Hss=Hss, Jc_s=Jc_s.reshape(-1), Jp_s=Jp_s.reshape(-1),
@@ -407,11 +415,16 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         W_corr = sys.Jc_s[:, :, None] * sys.Jp_s[:, None, :] * ih
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
-        U = U - _ar(seg_cam(U_corr), axis_name)
-        V = V - _seg_by_pt(V_corr, obs.pt_idx, T, buckets)
+        # single-pass reductions per axis (one one-hot / reshape-sum each)
+        cc = _ar(seg_cam(jnp.concatenate(
+            [U_corr.reshape(O, PC * PC), gc_corr], axis=1)), axis_name)
+        U = U - cc[:, :PC * PC].reshape(C, PC, PC)
+        g_cam = g_cam - cc[:, PC * PC:]
+        pp = _seg_by_pt(jnp.concatenate(
+            [V_corr.reshape(O, 9), gp_corr], axis=1), obs.pt_idx, T, buckets)
+        V = V - pp[:, :9].reshape(T, 3, 3)
+        g_pt = g_pt - pp[:, 9:]
         W = W - W_corr
-        g_cam = g_cam - _ar(seg_cam(gc_corr), axis_name)
-        g_pt = g_pt - _seg_by_pt(gp_corr, obs.pt_idx, T, buckets)
 
     U_d = _damped(U, lam, eps)
     if not problem.has_points:
@@ -426,12 +439,12 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
 
     O = W.shape[0]
-    # rhs: g_cam - W V^-1 g_pt
-    rhs = g_cam - _ar(seg_cam(
-        _mv(W, _gather_by_pt(_mv(V_inv, g_pt), pt_idx, buckets, O))),
-        axis_name)
+    # rhs: g_cam - W V^-1 g_pt (camera reduction fused with D_corr below
+    # on the PCG path — one one-hot pass instead of two)
+    rhs_o = _mv(W, _gather_by_pt(_mv(V_inv, g_pt), pt_idx, buckets, O))
 
     if dense_schur:
+        rhs = g_cam - _ar(seg_cam(rhs_o), axis_name)
         # ---- exact reduced solve: S = blockdiag(U_d) - Yᵀ Y with
         # Y[3p, c*PC:...] = L_p^{-1} W_oᵀ (L_p = chol(V_d)); one scatter builds
         # Y, one MXU contraction builds S, one Cholesky solves it.
@@ -488,10 +501,14 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                 y2 = _ar(seg_cam(u), axis_name)
                 return y - y2
 
-        # block-Jacobi preconditioner on the Schur diagonal
+        # block-Jacobi preconditioner on the Schur diagonal; its camera
+        # reduction and the rhs correction ride one fused one-hot pass
         WVi = jnp.sum(W[:, :, :, None] * Vg[:, None, :, :], axis=2)   # [O,PC,3]
         D_corr = jnp.sum(WVi[:, :, None, :] * W[:, None, :, :], -1)   # [O,PC,PC]
-        D = U_d - _ar(seg_cam(D_corr), axis_name)
+        dc = _ar(seg_cam(jnp.concatenate(
+            [D_corr.reshape(O, PC * PC), rhs_o], axis=1)), axis_name)
+        rhs = g_cam - dc[:, PC * PC:]
+        D = U_d - dc[:, :PC * PC].reshape(C, PC, PC)
         D = D + eps * jnp.eye(PC, dtype=D.dtype)
         D_inv = jnp.linalg.inv(D)
 
@@ -521,26 +538,32 @@ def _solve_scales(problem, sys, obs, d_cam, d_pt, lam, eps):
     return (inv_hss * num)[:, None]
 
 
+# Bounded LRU of jitted LM steps.  Keys include id(cam_arrays) entries; the
+# cached VALUE keeps a strong reference to those same device arrays, so a live
+# cache entry pins them and the ids cannot be reused by a different array
+# (id-pinning invariant).  Eviction drops both the executable and the pin.
 _STEP_CACHE = {}
+_STEP_CACHE_MAX = 16
 
 
 def _cached_step(problem, kernel, cfg, buckets, cam_buckets, cam_arrays,
                  pallas_tile):
     """One jitted LM step per unique static configuration: the mapper runs
     several BA/GP rounds per pipeline pass with identical shapes, and a
-    fresh jax.jit(partial(...)) per round would re-trace (~2 s each).
-    cam_arrays (device arrays) are captured as constants, so they key by
-    identity."""
+    fresh jax.jit(partial(...)) per round would re-trace (~2 s each)."""
     key = (problem, kernel, cfg, buckets, cam_buckets,
            None if cam_arrays is None else tuple(id(a) for a in cam_arrays),
            pallas_tile)
     try:
-        return _STEP_CACHE[key]
+        fn, _ = _STEP_CACHE[key]
+        return fn
     except KeyError:
         fn = jax.jit(partial(lm_step, problem, kernel, cfg, buckets=buckets,
                              cam_buckets=cam_buckets, cam_arrays=cam_arrays,
                              pallas_tile=pallas_tile))
-        _STEP_CACHE[key] = fn
+        while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
+        _STEP_CACHE[key] = (fn, cam_arrays)
         return fn
 
 
@@ -628,9 +651,14 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
                      jnp.asarray(jnp.inf, sys.cost.dtype)))
 
     accepted = jnp.isfinite(new_cost) & (new_cost <= sys.cost)
+    # On a rejected step (plateau exit included) RAISE the damping before the
+    # next LM iteration: keeping lam unchanged would make the next iteration
+    # recompute the identical rejected candidate (same params, same lam)
+    # until the window test terminates — the reference's TrustRegion always
+    # shrinks the radius on reject (bundle_adjustment.py:116-119).
     lam_next = jnp.where(accepted,
                          jnp.maximum(lam / cfg.radius_up, 1.0 / cfg.radius_max),
-                         lam)
+                         jnp.minimum(lam / cfg.radius_down, 1e30))
     params_next = jax.tree_util.tree_map(
         lambda c, p: jnp.where(accepted, c, p), cand, params)
     cost_next = jnp.where(accepted, new_cost, sys.cost)
