@@ -144,12 +144,15 @@ def run_pipeline(dbpath, num_cams, log):
     from instantsfm_tpu.pipeline.mapper import solve_global_mapper
     from instantsfm_tpu.pipeline.writer import write_reconstruction
 
+    from instantsfm_tpu.utils import debug as _dbg
+
     t_start = time.time()
     view_graph, cameras, images, feature_name = read_colmap_database(dbpath)
     t_read = time.time() - t_start
     config = Config(feature_name)
     cameras, images, tracks, timings = solve_global_mapper(
         view_graph, cameras, images, config, dtype=jnp.float32, log=log)
+    lm_stats = _dbg.drain_stats()
 
     out = "/tmp/bench_e2e_sparse"
     t0 = time.time()
@@ -171,6 +174,7 @@ def run_pipeline(dbpath, num_cams, log):
         "db_read_sec": round(t_read, 2),
         "write_sec": round(t_write, 2),
         "tracks": int(tracks.num_tracks),
+        "lm_iters": lm_stats,     # per-solve LM iteration counts (variance)
     }
     return rec, images
 
@@ -209,24 +213,36 @@ def main():
         print(*a, file=sys.stderr, flush=True, **k)
 
     # cold = first pass in this process (persistent XLA cache may still help
-    # across processes); warm = second pass, all compilations cached.
-    # BENCH_E2E_WARM_ONLY=1 runs a single pass (for big configs).
+    # across processes); warm = subsequent passes, all compilations cached.
+    # BENCH_E2E_WARM_ONLY=1 runs a single pass (for big configs);
+    # BENCH_E2E_REPEATS=N runs N warm passes and reports the BEST with the
+    # full per-pass spread (tunnel variance methodology, VERDICT r3 weak #3).
+    repeats = int(os.environ.get("BENCH_E2E_REPEATS", "1"))
     if os.environ.get("BENCH_E2E_WARM_ONLY"):
         warm, images = run_pipeline(dbpath, num_cams, log)
         cold = warm
+        warm_passes = [warm]
     else:
         cold, _ = run_pipeline(dbpath, num_cams, log)
-        warm, images = run_pipeline(dbpath, num_cams, log)
+        warm_passes = []
+        for _ in range(repeats):
+            warm, images = run_pipeline(dbpath, num_cams, log)
+            warm_passes.append(warm)
+        warm = min(warm_passes, key=lambda r: r["total_sec"])
     acc = accuracy_vs_gt(images, dbpath + ".gt.npz")
 
     record = {
         "metric": "images_per_sec_e2e",
         "value": warm["images_per_sec"],
-        "unit": f"img/s warm ({num_cams} images, sequential pairs, "
-                "db->sparse, f32 on device)",
+        "unit": f"img/s warm-best-of-{len(warm_passes)} ({num_cams} images, "
+                "sequential pairs, db->sparse, f32 on device)",
         "vs_baseline": None,
         "cold": cold,
         "warm": warm,
+        "warm_spread_sec": [r["total_sec"] for r in warm_passes],
+        "warm_stage_spread": {
+            k: [r["stages_sec"][k] for r in warm_passes]
+            for k in warm["stages_sec"]},
         "accuracy_f32_vs_gt": acc,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

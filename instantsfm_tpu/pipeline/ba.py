@@ -88,6 +88,7 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
         cam, pts, history = optimize_auto(problem, kernel, cfg, params, obs,
                                           verbose=verbose or _dbg.ENABLED,
                                           callback=callback)
+    _dbg.stat_add("ba_lm_iters", len(history))
     if _dbg.ENABLED:
         print(f"    [t] ba iters: {len(history)}", flush=True)
 

@@ -102,6 +102,8 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
     from instantsfm_tpu.parallel.sharded import optimize_auto
     cam, pts, history = optimize_auto(problem, kernel, cfg, params, obs,
                                       verbose=verbose, callback=callback)
+    from instantsfm_tpu.utils import debug as _dbg
+    _dbg.stat_add("gp_lm_iters", len(history))
 
     # ---- write back (ConvertResults: t = -R c, reference :41-43)
     new_centers = np.asarray(cam["c"], np.float64)

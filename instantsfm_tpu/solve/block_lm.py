@@ -113,34 +113,28 @@ def _ar(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
-def cam_reduce(vals, cam_idx, C: int, chunk: int = 32768):
+def cam_reduce(vals, cam_idx, C: int):
     """Segment-sum over the (small) camera axis as a one-hot matmul.
 
-    TPU scatter-adds into few segments are slow; a chunked one-hot
-    contraction runs on the MXU instead (~3x faster at 400k x 200 on v5e).
+    TPU scatter-adds into few segments are slow; a ONE-SHOT one-hot
+    contraction runs on the MXU instead, and XLA fuses the iota-compare
+    one-hot generation into the dot's operand stream — no [O, C] buffer
+    materializes (r4 probe, tools/probe_cam_reduce.py: 1.2 ms vs 2.7 ms
+    for the r1-r3 chunked fori at 400k x 200 x 72, 6.6 ms vs 22.5 ms at
+    4M x 500 x 72 — the fori's chunk boundaries dominated).
     vals: [O, K] -> [C, K].
     """
     O, K = vals.shape
     if C > 1024:
+        # one-hot MAC count scales with C; past ~1k segments the MXU loses
+        # to the (slow but O(O)) scatter path
         return jax.ops.segment_sum(vals, cam_idx, num_segments=C)
-    pad = (-O) % chunk
-    if pad:
-        vals = jnp.concatenate([vals, jnp.zeros((pad, K), vals.dtype)])
-        cam_idx = jnp.concatenate(
-            [cam_idx, jnp.full((pad,), C, cam_idx.dtype)])
-    nch = (O + pad) // chunk
     classes = jnp.arange(C, dtype=cam_idx.dtype)
-
-    def body(i, acc):
-        v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk)
-        ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
-        oh = (ids[:, None] == classes[None, :]).astype(vals.dtype)
-        # HIGHEST: default f32 matmul rounds operands to bf16 on the MXU;
-        # the one-hot contraction must not round the summed values.
-        return acc + jnp.dot(oh.T, v, preferred_element_type=vals.dtype,
-                             precision=jax.lax.Precision.HIGHEST)
-
-    return jax.lax.fori_loop(0, nch, body, jnp.zeros((C, K), vals.dtype))
+    oh = (cam_idx[:, None] == classes[None, :]).astype(vals.dtype)
+    # HIGHEST: default f32 matmul rounds operands to bf16 on the MXU;
+    # the one-hot contraction must not round the summed values.
+    return jnp.dot(oh.T, vals, preferred_element_type=vals.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _seg_by_cam(x, cam_idx, C, cam_buckets=(), cam_arrays=None):

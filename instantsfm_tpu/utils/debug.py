@@ -12,6 +12,21 @@ import time
 
 ENABLED = bool(os.environ.get("ISFM_DEBUG_TIMING"))
 
+# Lightweight run counters (LM iteration counts per solve, etc.): appended by
+# the solvers, drained by benchmark harnesses to explain run-to-run variance
+# (VERDICT r3 weak #3 — unexplained BA iteration drift between passes).
+STATS: dict = {}
+
+
+def stat_add(name: str, value) -> None:
+    STATS.setdefault(name, []).append(value)
+
+
+def drain_stats() -> dict:
+    out = {k: list(v) for k, v in STATS.items()}
+    STATS.clear()
+    return out
+
 
 class span:
     """``with span("name"):`` — prints elapsed seconds when enabled."""
