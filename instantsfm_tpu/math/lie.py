@@ -189,3 +189,32 @@ def rotation_geodesic_angle(q1, q2):
     """Angle in radians between two rotations given as quaternions."""
     d = jnp.abs(jnp.sum(q1 * q2, axis=-1)).clip(0.0, 1.0)
     return 2.0 * jnp.arccos(d)
+
+
+# ----------------------------------------------------------- numpy twins
+#
+# Host-side pipeline stages (cheirality culls, reprojection filters, GP
+# setup) apply these to 1-10M-row numpy arrays between device solves.
+# Round-tripping them through the device costs far more in h2d/d2h
+# transfer than the math (r4: ~25 s of the 200-image BA stage was exactly
+# these transfers through the TPU tunnel); plain numpy runs them in tens
+# of milliseconds.
+
+def quat_rotate_np(q, v):
+    """numpy twin of ``quat_rotate`` (same 2-cross-product form)."""
+    import numpy as _np
+    u = q[..., :3]
+    w = q[..., 3:4]
+    uv = _np.cross(u, v)
+    return v + 2.0 * (w * uv + _np.cross(u, uv))
+
+
+def quat_rotate_inv_np(q, v):
+    import numpy as _np
+    qc = _np.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
+    return quat_rotate_np(qc, v)
+
+
+def se3_action_np(q, t, p):
+    """numpy twin of ``se3_action``: R(q) p + t."""
+    return quat_rotate_np(q, p) + t

@@ -45,10 +45,11 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
     of = tracks.obs_feature[obs_ok]
     ot = tracks.obs_track_idx()[obs_ok]
 
-    # ---- cheirality cull z > 0.1 (reference :102-107)
-    pt_cam = np.asarray(lie.se3_action(jnp.asarray(images.qvec[oi]),
-                                       jnp.asarray(images.tvec[oi]),
-                                       jnp.asarray(tracks.xyz[ot])))
+    # ---- cheirality cull z > 0.1 (reference :102-107); host numpy — the
+    # device round-trip of ~1M-row f64 arrays costs more in tunnel transfer
+    # than the math (PERF_NOTES r4)
+    pt_cam = lie.se3_action_np(images.qvec[oi], images.tvec[oi],
+                               tracks.xyz[ot])
     front = pt_cam[:, 2] > 0.1
     oi, of, ot = oi[front], of[front], ot[front]
     if len(oi) == 0:

@@ -64,8 +64,7 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
     kp_flat = images.kp_index(tracks.obs_image, tracks.obs_feature)
     bearings = images.kp_bearing[kp_flat]
     q_obs = images.qvec[tracks.obs_image]
-    t_obs = np.asarray(lie.quat_rotate_inv(jnp.asarray(q_obs),
-                                           jnp.asarray(bearings)))
+    t_obs = lie.quat_rotate_inv_np(q_obs, bearings)
     cam_idx = dense[tracks.obs_image].astype(np.int32)
     pt_idx = tracks.obs_track_idx()
     calibrated = cameras.has_prior_focal[images.cam_idx[tracks.obs_image]]
@@ -100,15 +99,15 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
     from instantsfm_tpu.parallel.sharded import optimize_auto
-    cam, pts, history = optimize_auto(problem, kernel, cfg, params, obs,
-                                      verbose=verbose, callback=callback)
     from instantsfm_tpu.utils import debug as _dbg
+    cam, pts, history = optimize_auto(problem, kernel, cfg, params, obs,
+                                      verbose=verbose or _dbg.ENABLED,
+                                      callback=callback)
     _dbg.stat_add("gp_lm_iters", len(history))
 
     # ---- write back (ConvertResults: t = -R c, reference :41-43)
     new_centers = np.asarray(cam["c"], np.float64)
-    images.tvec[reg_idx] = np.asarray(
-        -lie.quat_rotate(jnp.asarray(images.qvec[reg_idx]),
-                         jnp.asarray(new_centers)))
+    images.tvec[reg_idx] = -lie.quat_rotate_np(images.qvec[reg_idx],
+                                               new_centers)
     tracks.xyz = np.array(pts, np.float64)
     return tracks

@@ -38,20 +38,36 @@ _ESTIMABLE = (CONFIG_PLANAR, CONFIG_PANORAMIC, CONFIG_PLANAR_OR_PANORAMIC,
               CONFIG_UNCALIBRATED, CONFIG_CALIBRATED)
 
 
+@partial(jax.jit, static_argnames=("model_id",))
+def _bearings_jit(model_id, params_cams, cam_of_kp, kp_xy):
+    return cam_models.bearing_from_img(model_id, params_cams[cam_of_kp],
+                                       kp_xy)
+
+
 def undistort_images(cameras: Cameras, images: Images, dtype=jnp.float64) -> None:
     """Compute unit bearings for every keypoint (reference
     ``processors/image_undistortion.py`` + ``UndistortImages`` call sites).
 
-    One fused batched call over all keypoints of all images.
+    One fused batched call over all keypoints of all images.  Per-camera
+    params ship to the device and are gathered THERE by a cached int32
+    index — the r1-r3 version shipped a per-keypoint [N, 16] params array
+    (~200 MB at 3.2M keypoints) through the tunnel on each of the ~5 calls
+    per pipeline pass; the static keypoint tables transfer once.
     """
     if images.num_images == 0:
         return
     model_id = cameras.uniform_model_id
-    kp_img = np.repeat(np.arange(images.num_images),
-                       np.diff(images.kp_offset))
-    params_per_kp = cameras.params[images.cam_idx[kp_img]]
-    b = cam_models.bearing_from_img(model_id, jnp.asarray(params_per_kp, dtype),
-                                    jnp.asarray(images.kp_xy, dtype))
+    key = (len(images.kp_xy), jnp.dtype(dtype).name)
+    cache = getattr(images, "_undistort_dev", None)
+    if cache is None or cache[0] != key:
+        kp_img = np.repeat(np.arange(images.num_images),
+                           np.diff(images.kp_offset))
+        cam_of_kp = jnp.asarray(images.cam_idx[kp_img], jnp.int32)
+        kp_xy = jnp.asarray(images.kp_xy, dtype)
+        cache = (key, cam_of_kp, kp_xy)
+        images._undistort_dev = cache
+    b = _bearings_jit(model_id, jnp.asarray(cameras.params, dtype),
+                      cache[1], cache[2])
     images.kp_bearing = np.asarray(b, np.float64)
 
 

@@ -47,8 +47,7 @@ def complete_tracks(cameras: Cameras, images: Images, tracks: Tracks,
     xyz = tracks.xyz[cand_track]
     q = images.qvec[cand_img]
     t = images.tvec[cand_img]
-    pt_cam = np.asarray(lie.se3_action(jnp.asarray(q), jnp.asarray(t),
-                                       jnp.asarray(xyz)))
+    pt_cam = lie.se3_action_np(q, t, xyz)
     params = cameras.params[images.cam_idx[cand_img]]
     proj = np.asarray(cam_models.img_from_cam(model_id, jnp.asarray(params),
                                               jnp.asarray(pt_cam)))

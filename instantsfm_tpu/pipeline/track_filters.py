@@ -32,8 +32,7 @@ def filter_tracks_by_angle(cameras: Cameras, images: Images, tracks: Tracks,
         return tracks
     thres = np.cos(np.deg2rad(max_angle_error_deg))
     q, t, xyz = _obs_world2cam(images, tracks)
-    pt_cam = np.asarray(lie.se3_action(jnp.asarray(q), jnp.asarray(t),
-                                       jnp.asarray(xyz)))
+    pt_cam = lie.se3_action_np(q, t, xyz)
     bearings = images.kp_bearing[images.kp_index(tracks.obs_image,
                                                  tracks.obs_feature)]
     norm = np.linalg.norm(pt_cam, axis=-1, keepdims=True)
@@ -51,8 +50,7 @@ def filter_tracks_by_reprojection_normalized(cameras: Cameras, images: Images,
     if tracks.num_observations == 0:
         return tracks
     q, t, xyz = _obs_world2cam(images, tracks)
-    pt_cam = np.asarray(lie.se3_action(jnp.asarray(q), jnp.asarray(t),
-                                       jnp.asarray(xyz)))
+    pt_cam = lie.se3_action_np(q, t, xyz)
     bearings = images.kp_bearing[images.kp_index(tracks.obs_image,
                                                  tracks.obs_feature)]
     feat_uv = bearings[:, :2] / (bearings[:, 2:] + _EPS)
@@ -71,8 +69,7 @@ def filter_tracks_by_reprojection(cameras: Cameras, images: Images,
     from instantsfm_tpu.scene import cameras as cam_models
     model_id = cameras.uniform_model_id
     q, t, xyz = _obs_world2cam(images, tracks)
-    pt_cam = np.asarray(lie.se3_action(jnp.asarray(q), jnp.asarray(t),
-                                       jnp.asarray(xyz)))
+    pt_cam = lie.se3_action_np(q, t, xyz)
     params = cameras.params[images.cam_idx[tracks.obs_image]]
     proj = np.asarray(cam_models.img_from_cam(model_id, jnp.asarray(params),
                                               jnp.asarray(pt_cam)))

@@ -297,12 +297,16 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     # observations are sorted by point (CSR track layout) throughout the
     # pipeline; padded tails use the last point index so sortedness holds.
     # Under shard_map the point axis is shard-local (points partitioned with
-    # their observations) — V/g_pt need no collective.  Same single-pass
-    # fusion on the point axis.
-    Vg_ = _seg_by_pt(jnp.concatenate([V_o.reshape(O_n, 9), gp_o], axis=1),
-                     obs.pt_idx, num_points, buckets)
-    V = Vg_[:, :9].reshape(num_points, 3, 3)
-    g_pt = Vg_[:, 9:]
+    # their observations) — V/g_pt need no collective.
+    # NOTE: V and g_pt are reduced SEPARATELY on purpose. Fusing them through
+    # one concatenated [O, 12] reshape-sum miscompiles on XLA:TPU — the fused
+    # concatenate->dynamic_slice->reshape-sum emitted a single corrupt (inf)
+    # output row at the last bucket boundary on v5e (r4 repro,
+    # /tmp-level isolation 2026-08-21: input finite, fused output inf at the
+    # final padded track, separate reductions exact).  The camera-side
+    # concat fusions are safe (they feed a one-hot dot, a different path).
+    V = _seg_by_pt(V_o, obs.pt_idx, num_points, buckets)
+    g_pt = _seg_by_pt(gp_o, obs.pt_idx, num_points, buckets)
 
     return NormalSystem(U=U, V=V, W=W.reshape(-1), g_cam=g_cam, g_pt=g_pt,
                         Hss=Hss, Jc_s=Jc_s.reshape(-1), Jp_s=Jp_s.reshape(-1),
@@ -409,15 +413,15 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         W_corr = sys.Jc_s[:, :, None] * sys.Jp_s[:, None, :] * ih
         gc_corr = sys.Jc_s * (inv_hss * sys.g_s)[:, None]
         gp_corr = sys.Jp_s * (inv_hss * sys.g_s)[:, None]
-        # single-pass reductions per axis (one one-hot / reshape-sum each)
+        # single-pass CAMERA reduction (one one-hot dot); the point-side
+        # reductions stay separate — the fused concat reshape-sum
+        # miscompiles on XLA:TPU (see build_system NOTE)
         cc = _ar(seg_cam(jnp.concatenate(
             [U_corr.reshape(O, PC * PC), gc_corr], axis=1)), axis_name)
         U = U - cc[:, :PC * PC].reshape(C, PC, PC)
         g_cam = g_cam - cc[:, PC * PC:]
-        pp = _seg_by_pt(jnp.concatenate(
-            [V_corr.reshape(O, 9), gp_corr], axis=1), obs.pt_idx, T, buckets)
-        V = V - pp[:, :9].reshape(T, 3, 3)
-        g_pt = g_pt - pp[:, 9:]
+        V = V - _seg_by_pt(V_corr, obs.pt_idx, T, buckets)
+        g_pt = g_pt - _seg_by_pt(gp_corr, obs.pt_idx, T, buckets)
         W = W - W_corr
 
     U_d = _damped(U, lam, eps)
@@ -645,14 +649,14 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
                      jnp.asarray(jnp.inf, sys.cost.dtype)))
 
     accepted = jnp.isfinite(new_cost) & (new_cost <= sys.cost)
-    # On a rejected step (plateau exit included) RAISE the damping before the
-    # next LM iteration: keeping lam unchanged would make the next iteration
-    # recompute the identical rejected candidate (same params, same lam)
-    # until the window test terminates — the reference's TrustRegion always
-    # shrinks the radius on reject (bundle_adjustment.py:116-119).
+    # On reject, keep lam at the last tried value (the loop already raised it
+    # per retry).  A rejected iteration is then a deterministic fixed point
+    # (same params, same lam) — the host loop detects the repeated loss and
+    # stops immediately (see optimize), which replaces the r3 behavior of
+    # recomputing the identical candidate until the window test fired.
     lam_next = jnp.where(accepted,
                          jnp.maximum(lam / cfg.radius_up, 1.0 / cfg.radius_max),
-                         jnp.minimum(lam / cfg.radius_down, 1e30))
+                         lam)
     params_next = jax.tree_util.tree_map(
         lambda c, p: jnp.where(accepted, c, p), cand, params)
     cost_next = jnp.where(accepted, new_cost, sys.cost)
@@ -681,15 +685,19 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     w = cfg.window_size
 
     def _converged():
+        # Equal consecutive losses terminate IMMEDIATELY: under this
+        # engine's reject semantics (lam kept on reject) a rejected
+        # iteration leaves (params, lam) unchanged — a deterministic fixed
+        # point — and an accepted step with bitwise-equal cost has zero
+        # improvement; both are terminal.  The reference gates this test
+        # behind 2*window iterations (bundle_adjustment.py:134-141) because
+        # its TrustRegion keeps moving damping between iterations; here
+        # waiting would only recompute the identical candidate (r3 burned
+        # up to 2*window extra solves per BA round on exactly this).
+        if len(history) >= 2 and history[-1] == history[-2]:
+            return True
         if len(history) < 2 * w:
             return False
-        # loss plateau after the warm-up window: the reference
-        # (bundle_adjustment.py:134-141) only treats equal consecutive losses
-        # as "linear solver failed" once 2*window_size iterations have run —
-        # breaking earlier would abort solves where a single rejected step
-        # reproduces the cost bitwise while damping is still recovering.
-        if history[-1] == history[-2]:
-            return True
         recent = np.mean(history[-w:])
         prev = np.mean(history[-2 * w:-w])
         return prev > 0 and abs((prev - recent) / prev) < cfg.function_tolerance
