@@ -161,17 +161,22 @@ def bucketize_problem(params, obs, track_pad: int = 256,
                    np.asarray(params.scales_free), params.pts.shape[0],
                    track_pad=track_pad, span_align=span_align)
     dtype = params.pts.dtype
-    pts_b = np.zeros((bp.num_slots, 3), np.asarray(params.pts).dtype)
+    np_dtype = np.dtype(dtype.name) if hasattr(dtype, "name") else dtype
+    pts_b = np.zeros((bp.num_slots, 3), np_dtype)
     pts_b[bp.point_slots] = np.asarray(params.pts)
-    params_b = Params(cam=params.cam,
-                      pts=jnp.asarray(pts_b, dtype),
-                      scales=jnp.asarray(bp.scales, dtype),
-                      scales_free=jnp.asarray(bp.scales_free))
-    obs_b = Observations(cam_idx=jnp.asarray(bp.cam_idx),
-                         pt_idx=jnp.asarray(bp.pt_idx),
-                         data={k: jnp.asarray(v, dtype)
-                               for k, v in bp.data.items()},
-                         valid=jnp.asarray(bp.valid))
+    # ONE batched device_put for the whole pytree: each individual
+    # jnp.asarray is a separate tunnel RPC (~0.25 s latency each on the
+    # remote chip; 8 of them cost ~2 s per BA/GP round — r4 profile)
+    host_tree = ((pts_b, bp.scales.astype(np_dtype), bp.scales_free),
+                 (bp.cam_idx, bp.pt_idx,
+                  {k: v.astype(np_dtype) for k, v in bp.data.items()},
+                  bp.valid))
+    ((pts_d, scales_d, sfree_d),
+     (cam_d, pt_d, data_d, valid_d)) = jax.device_put(host_tree)
+    params_b = Params(cam=params.cam, pts=pts_d, scales=scales_d,
+                      scales_free=sfree_d)
+    obs_b = Observations(cam_idx=cam_d, pt_idx=pt_d, data=data_d,
+                         valid=valid_d)
     return params_b, obs_b, bp.buckets, bp.point_slots
 
 
