@@ -142,13 +142,32 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     # repeat/gathered — a fused [G*16] gather costs ~10 ms here (see ops/gather).
     ss = side * side
     flat_tiles = tile_ids.reshape(-1).astype(jnp.int32)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(G, dtype=jnp.int32)[:, None], (G, ss)).reshape(-1)
     db = jax.lax.bitcast_convert_type(
         jnp.maximum(proj.depths, 0.0).astype(jnp.float32), jnp.int32)
     depth_bits = jnp.broadcast_to(db[:, None], (G, ss)).reshape(-1)
-    sorted_tiles, _, sorted_gauss = jax.lax.sort(
-        (flat_tiles, depth_bits, flat_gauss), num_keys=2)
+
+    # gradient routing strategy for the packed-attrs gather below:
+    #   "add" (default) sorts the gaussian id and uses XLA's scatter-add
+    #   transpose — MEASURED FASTEST of all XLA routing options on v5e
+    #   (r4 probe, tools/probe_gs_routing.py at 973k slots -> 100k rows:
+    #   scatter-add 17.6 ms standalone / 13 in-fusion; unique-dest
+    #   scatter-set + reshape-sum 86.8; sort+gather+doubling-scan 31.6;
+    #   rank-scatter + padded gather 17.0);
+    #   "set" keeps the unique-slot variant for re-measurement on future
+    #   toolchains (gradients verified bit-identical on CPU).
+    import os as _os
+    route = _os.environ.get("ISFM_GS_ROUTE", "add")
+
+    starts = None
+    if route == "set":
+        flat_slot = jnp.arange(G * ss, dtype=jnp.int32)
+        sorted_tiles, _, sorted_slot = jax.lax.sort(
+            (flat_tiles, depth_bits, flat_slot), num_keys=2)
+    else:
+        flat_gauss = jnp.broadcast_to(
+            jnp.arange(G, dtype=jnp.int32)[:, None], (G, ss)).reshape(-1)
+        sorted_tiles, _, sorted_gauss = jax.lax.sort(
+            (flat_tiles, depth_bits, flat_gauss), num_keys=2)
 
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(n_tiles + 1))
     counts = starts[1:] - starts[:-1]
@@ -160,11 +179,6 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     # latency-bound at ~7 ns/row — 2x measured on v5e); the K-sentinel pad
     # keeps end-of-array windows in bounds without shifting them.
     k_ok = jnp.arange(tile_capacity)[None, :] < counts[:, None]
-    sg_pad = jnp.concatenate(
-        [sorted_gauss, jnp.full(tile_capacity, G, sorted_gauss.dtype)])
-    tg = jax.vmap(lambda s: jax.lax.dynamic_slice(
-        sg_pad, (s,), (tile_capacity,)))(starts[:-1])
-    tile_gauss = jnp.where(k_ok, tg, G)              # [n_tiles, K]
 
     # ONE packed gather for all per-gaussian render data: separate gathers of
     # [.,2]/[.,3]/[.] arrays each pad their trailing dim to 128 lanes on TPU;
@@ -173,7 +187,20 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     from instantsfm_tpu.gs import pallas_raster
     table = pallas_raster.pack_attrs(means2d, proj.conics, colors, opacities,
                                      proj.depths)
-    attrs = ops.fast_gather(table, tile_gauss)       # [n_tiles, K, 16] f32
+    if route == "set":
+        si_pad = jnp.concatenate(
+            [sorted_slot, jnp.full(tile_capacity, G * ss, sorted_slot.dtype)])
+        to = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            si_pad, (s,), (tile_capacity,)))(starts[:-1])
+        tile_slot = jnp.where(k_ok, to, G * ss)      # [n_tiles, K] unique
+        attrs = ops.gather_by_slot(table, tile_slot, ss)
+    else:
+        sg_pad = jnp.concatenate(
+            [sorted_gauss, jnp.full(tile_capacity, G, sorted_gauss.dtype)])
+        tg = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            sg_pad, (s,), (tile_capacity,)))(starts[:-1])
+        tile_gauss = jnp.where(k_ok, tg, G)          # [n_tiles, K]
+        attrs = ops.fast_gather(table, tile_gauss)   # [n_tiles, K, 16] f32
 
     P = TILE * TILE
 

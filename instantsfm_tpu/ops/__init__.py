@@ -1,1 +1,2 @@
-from instantsfm_tpu.ops.gather import fast_gather, isolate  # noqa: F401
+from instantsfm_tpu.ops.gather import (fast_gather, gather_by_slot,  # noqa: F401
+                                       isolate)

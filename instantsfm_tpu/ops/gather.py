@@ -67,3 +67,45 @@ def _fg_bwd(res, g):
 
 
 fast_gather.defvjp(_fg_fwd, _fg_bwd)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_by_slot(table, slot_idx, ss: int):
+    """``table[slot_idx // ss]`` where every entry of ``slot_idx`` is a
+    UNIQUE pre-sort slot id in [0, (R+1)*ss) for a [R+1, F] table (row R the
+    zero sentinel; sentinel slots may repeat).
+
+    Same forward as ``fast_gather``, but the backward routes gradients with
+    a unique-destination scatter-SET into the padded [(R+1)*ss, F] slot
+    layout followed by a dense reshape-sum — scatter-set has no
+    read-modify-write, which the r4 probe (tools/probe_gs_routing.py)
+    measures ~2x faster than XLA's scatter-ADD transpose at the 3DGS
+    backward shape (973k rows -> 100k gaussians)."""
+    return isolate(lambda t, i: t[i // ss], table, slot_idx)
+
+
+def _gbs_fwd(table, slot_idx, ss):
+    row_proto = table[:0]
+    n_proto = table.reshape(table.shape[0], -1)[:, :0]
+    return gather_by_slot(table, slot_idx, ss), (slot_idx, row_proto, n_proto)
+
+
+def _gbs_bwd(ss, res, g):
+    slot_idx, row_proto, n_proto = res
+    R1 = n_proto.shape[0]                       # table rows incl. sentinel
+    F = row_proto.shape[1:]
+    flat_g = g.reshape((-1,) + F).astype(row_proto.dtype)
+    flat_i = slot_idx.reshape(-1)
+
+    def scat(gg, ii):
+        pad = jnp.zeros((R1 * ss,) + F, row_proto.dtype).at[ii].set(gg)
+        return pad.reshape((R1, ss) + F).sum(axis=1)
+
+    gt = isolate(scat, flat_g, flat_i)
+    return gt, np.zeros(slot_idx.shape, jax.dtypes.float0)
+
+
+gather_by_slot.defvjp(_gbs_fwd, _gbs_bwd)

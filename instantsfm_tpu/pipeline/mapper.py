@@ -147,15 +147,28 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
 
     if not opts["skip_bundle_adjustment"]:
         t0 = _stage("bundle adjustment")
-        for it in range(opts["num_iteration_bundle_adjustment"]):
-            ba.bundle_adjustment(cameras, images, tracks,
-                                 config.BUNDLE_ADJUSTER_OPTIONS, dtype=dtype)
-            relpose.undistort_images(cameras, images, dtype)
-            tracks = track_filters.filter_tracks_by_reprojection_normalized(
-                cameras, images, tracks,
-                config.INLIER_THRESHOLD_OPTIONS["max_reprojection_error"]
-                * max(1, 3 - it))
-            _viz("bundle_adjustment")
+        n_rounds = opts["num_iteration_bundle_adjustment"]
+        if visualizer is None:
+            # device-resident rounds: observations ship once, inter-round
+            # cheirality/min-view/reprojection filters run as device-side
+            # valid-mask updates (PERF_NOTES r4: the classic loop paid ~25 s
+            # of 8-9 MB/s tunnel transfer per round at 500 images)
+            tracks = ba.bundle_adjustment_rounds(
+                cameras, images, tracks, config.BUNDLE_ADJUSTER_OPTIONS,
+                config.INLIER_THRESHOLD_OPTIONS["max_reprojection_error"],
+                rounds=n_rounds, dtype=dtype)
+        else:
+            # classic per-round loop (per-round snapshots for the live view)
+            for it in range(n_rounds):
+                ba.bundle_adjustment(cameras, images, tracks,
+                                     config.BUNDLE_ADJUSTER_OPTIONS,
+                                     dtype=dtype)
+                relpose.undistort_images(cameras, images, dtype)
+                tracks = track_filters.filter_tracks_by_reprojection_normalized(
+                    cameras, images, tracks,
+                    config.INLIER_THRESHOLD_OPTIONS["max_reprojection_error"]
+                    * max(1, 3 - it))
+                _viz("bundle_adjustment")
         log(f"{int(images.registered.sum())} images are registered after BA.")
 
         relpose.undistort_images(cameras, images, dtype)

@@ -34,6 +34,9 @@ class BucketedProblem(NamedTuple):
     point_unperm: np.ndarray  # [T] old index of new point i -> inverse map
     num_slots: int = 0        # padded point-slot count (>= T)
     point_slots: np.ndarray = None  # [T] slot of each ORIGINAL point
+    obs_order: np.ndarray = None    # [O] source rows in pack order
+    obs_dest: np.ndarray = None     # [O] padded slot of each packed row:
+    #                                 padded[obs_dest[k]] = a[obs_order[k]]
 
 
 def _bucket_len(n: int) -> int:
@@ -140,26 +143,31 @@ def bucketize(cam_idx, pt_idx, data, valid, scales, scales_free,
         buckets=tuple(buckets),
         point_perm=point_perm, point_unperm=point_unperm,
         num_slots=int(pt_cursor),
-        point_slots=slot_of_new[point_unperm])
+        point_slots=slot_of_new[point_unperm],
+        obs_order=obs_order, obs_dest=dest)
 
 
 # ------------------------- device-side bucket primitives (static buckets)
 
 def bucketize_problem(params, obs, track_pad: int = 256,
-                      span_align: int = 0):
+                      span_align: int = 0, return_mapping: bool = False):
     """Convenience: (Params, Observations) -> bucketed versions + metadata.
 
     Returns (params_b, obs_b, buckets, point_slots): points are scattered into
     padded slots (``pts_b[point_slots] = pts``); read back results with
-    ``pts_b[point_slots]``.
+    ``pts_b[point_slots]``.  With ``return_mapping`` also returns
+    (obs_order, obs_dest): padded[obs_dest[k]] = original[obs_order[k]].
     """
     from instantsfm_tpu.solve.block_lm import Observations, Params
 
-    bp = bucketize(np.asarray(obs.cam_idx), np.asarray(obs.pt_idx),
-                   {k: np.asarray(v) for k, v in obs.data.items()},
-                   np.asarray(obs.valid), np.asarray(params.scales),
-                   np.asarray(params.scales_free), params.pts.shape[0],
-                   track_pad=track_pad, span_align=span_align)
+    from instantsfm_tpu.utils.debug import span
+
+    with span("bucketize host"):
+        bp = bucketize(np.asarray(obs.cam_idx), np.asarray(obs.pt_idx),
+                       {k: np.asarray(v) for k, v in obs.data.items()},
+                       np.asarray(obs.valid), np.asarray(params.scales),
+                       np.asarray(params.scales_free), params.pts.shape[0],
+                       track_pad=track_pad, span_align=span_align)
     dtype = params.pts.dtype
     np_dtype = np.dtype(dtype.name) if hasattr(dtype, "name") else dtype
     pts_b = np.zeros((bp.num_slots, 3), np_dtype)
@@ -171,12 +179,16 @@ def bucketize_problem(params, obs, track_pad: int = 256,
                  (bp.cam_idx, bp.pt_idx,
                   {k: v.astype(np_dtype) for k, v in bp.data.items()},
                   bp.valid))
-    ((pts_d, scales_d, sfree_d),
-     (cam_d, pt_d, data_d, valid_d)) = jax.device_put(host_tree)
+    with span("bucketize device_put"):
+        ((pts_d, scales_d, sfree_d),
+         (cam_d, pt_d, data_d, valid_d)) = jax.device_put(host_tree)
     params_b = Params(cam=params.cam, pts=pts_d, scales=scales_d,
                       scales_free=sfree_d)
     obs_b = Observations(cam_idx=cam_d, pt_idx=pt_d, data=data_d,
                          valid=valid_d)
+    if return_mapping:
+        return (params_b, obs_b, bp.buckets, bp.point_slots,
+                (bp.obs_order, bp.obs_dest))
     return params_b, obs_b, bp.buckets, bp.point_slots
 
 
