@@ -48,27 +48,34 @@ def undistort_images(cameras: Cameras, images: Images, dtype=jnp.float64) -> Non
     """Compute unit bearings for every keypoint (reference
     ``processors/image_undistortion.py`` + ``UndistortImages`` call sites).
 
-    One fused batched call over all keypoints of all images.  Per-camera
-    params ship to the device and are gathered THERE by a cached int32
-    index — the r1-r3 version shipped a per-keypoint [N, 16] params array
-    (~200 MB at 3.2M keypoints) through the tunnel on each of the ~5 calls
-    per pipeline pass; the static keypoint tables transfer once.
+    Runs on the HOST CPU backend: the result is consumed by host-side numpy
+    (GP setup, filters), and reading an [8M, 3] bearing array back through
+    the TPU tunnel costs ~10 s per call at the measured 8-9 MB/s
+    (PERF_NOTES r4) while the Newton undistortion itself is ~1 s of
+    vectorized CPU work.  Calls with unchanged intrinsics are cached — the
+    mapper re-undistorts before GP although nothing after the pre-relpose
+    call touches the params.
     """
     if images.num_images == 0:
         return
     model_id = cameras.uniform_model_id
-    key = (len(images.kp_xy), jnp.dtype(dtype).name)
-    cache = getattr(images, "_undistort_dev", None)
-    if cache is None or cache[0] != key:
-        kp_img = np.repeat(np.arange(images.num_images),
-                           np.diff(images.kp_offset))
-        cam_of_kp = jnp.asarray(images.cam_idx[kp_img], jnp.int32)
-        kp_xy = jnp.asarray(images.kp_xy, dtype)
-        cache = (key, cam_of_kp, kp_xy)
-        images._undistort_dev = cache
-    b = _bearings_jit(model_id, jnp.asarray(cameras.params, dtype),
-                      cache[1], cache[2])
+    key = (int(model_id), len(images.kp_xy),
+           hash(cameras.params.tobytes()))
+    if getattr(images, "_undistort_key", None) == key \
+            and images.kp_bearing is not None:
+        return
+    kp_img = np.repeat(np.arange(images.num_images),
+                       np.diff(images.kp_offset))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        b = _bearings_jit(model_id,
+                          jax.device_put(cameras.params.astype(np.float64),
+                                         cpu),
+                          jax.device_put(images.cam_idx[kp_img].astype(
+                              np.int32), cpu),
+                          jax.device_put(images.kp_xy, cpu))
     images.kp_bearing = np.asarray(b, np.float64)
+    images._undistort_key = key
 
 
 # ------------------------------------------------------------- jitted cores
