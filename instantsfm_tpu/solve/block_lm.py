@@ -124,11 +124,39 @@ def cam_reduce(vals, cam_idx, C: int):
     4M x 500 x 72 — the fori's chunk boundaries dominated).
     vals: [O, K] -> [C, K].
     """
+    import os as _os
+
     O, K = vals.shape
     if C > 1024:
         # one-hot MAC count scales with C; past ~1k segments the MXU loses
         # to the (slow but O(O)) scatter path
         return jax.ops.segment_sum(vals, cam_idx, num_segments=C)
+    # One-shot one-hot wins when XLA's one-hot-dot rewrite fires (default
+    # bench shape: 2.7 -> 1.2 ms, 20.8 -> 22.9 it/s), but IN-GRAPH at large
+    # O*C*K the rewrite does not fire and the 6-pass HIGHEST dot runs for
+    # real on the MXU: BA500 (8M x 500 x 72) measured 0.662 it/s one-shot
+    # vs 1.145 chunked-fori (r4 A/B).  Threshold keeps the small-problem
+    # win and the large-problem floor; ISFM_CAMRED forces either path.
+    force = _os.environ.get("ISFM_CAMRED")
+    use_fori = (force == "fori") if force else (O * C * K > 5e10)
+    if use_fori:
+        chunk = 32768
+        pad = (-O) % chunk
+        if pad:
+            vals = jnp.concatenate([vals, jnp.zeros((pad, K), vals.dtype)])
+            cam_idx = jnp.concatenate(
+                [cam_idx, jnp.full((pad,), C, cam_idx.dtype)])
+        classes = jnp.arange(C, dtype=cam_idx.dtype)
+
+        def body(i, acc):
+            v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk)
+            ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
+            oh = (ids[:, None] == classes[None, :]).astype(vals.dtype)
+            return acc + jnp.dot(oh.T, v, preferred_element_type=vals.dtype,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+        return jax.lax.fori_loop(0, (O + pad) // chunk, body,
+                                 jnp.zeros((C, K), vals.dtype))
     classes = jnp.arange(C, dtype=cam_idx.dtype)
     oh = (cam_idx[:, None] == classes[None, :]).astype(vals.dtype)
     # HIGHEST: default f32 matmul rounds operands to bf16 on the MXU;
@@ -467,12 +495,18 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         iters = jnp.asarray(0, jnp.int32)
     else:
         # fused Pallas chain (solve/pallas_schur.py) when the bucketed
-        # layout is tile-aligned; exact-f32 XLA chain otherwise
+        # layout is tile-aligned AND the problem is large enough that the
+        # kernel's standalone camera gather amortizes (r4 A/B: wins at 8M
+        # obs, loses at 450k — pallas_schur.PALLAS_MIN_OBS); exact-f32 XLA
+        # chain otherwise.  ISFM_PALLAS_FORCE=1 ignores the size gate.
         use_pallas = False
         if pallas_tile and buckets and not axis_name and C <= pallas_tile \
                 and PC <= 8:
             from instantsfm_tpu.solve import pallas_schur as ps
-            _logL = ps.tile_logL(buckets, pallas_tile)
+            import os as _os2
+            big = (O >= ps.PALLAS_MIN_OBS
+                   or bool(_os2.environ.get("ISFM_PALLAS_FORCE")))
+            _logL = ps.tile_logL(buckets, pallas_tile) if big else None
             use_pallas = _logL is not None and O % pallas_tile == 0
 
         Vg = _gather_by_pt(V_inv, pt_idx, buckets, O)                 # [O,3,3]

@@ -52,18 +52,25 @@ PCP = 8          # padded camera-block rows in the x table / W k-groups
 RW = 40          # WVt rows: 3*PCP of W, 9 of V_inv, 7 zero pad
 
 
+DEFAULT_TILE = 4096
+
+# The fused chain pays a ~1 ms standalone x[cam_idx] gather per CG iteration
+# that XLA's own fused loop body gets for free, but amortizes it at large O:
+# measured on v5e the kernel LOSES at the default BA config (19.1 vs 22.1
+# it/s, 450k obs, r3) and WINS at BA500 (1.252 vs 1.194 it/s, 8M obs, r4).
+# The solver auto-enables it above this observation count.
+PALLAS_MIN_OBS = 4_000_000
+
+
 def default_pallas_tile() -> int:
-    """Opt-in gate (ISFM_PALLAS_TILE=4096): measured on v5e the fused chain
-    runs at its HBM roofline (~0.125 ms per 450k-obs matvec) but the
-    standalone x[cam_idx] gather it forces costs ~1 ms (XLA materializes
-    small-table row gathers latency-bound), while XLA's own loop FUSES that
-    gather for free — so the kernel nets ~3 it/s SLOWER at the default BA
-    config (19.1 vs 22.1).  Kept for large-O configs and future Mosaic
-    gather support; see PERF_NOTES.md."""
+    """Tile size for the fused Schur chain.  ISFM_PALLAS_TILE overrides
+    (0 disables); by default the tile is always configured and the solver
+    gates on problem size (``PALLAS_MIN_OBS``), so the bucket layout is
+    tile-aligned and the kernel engages exactly where measured to win."""
     import os
-    if os.environ.get("ISFM_PALLAS_TILE"):
+    if os.environ.get("ISFM_PALLAS_TILE") is not None:
         return int(os.environ["ISFM_PALLAS_TILE"])
-    return 0
+    return DEFAULT_TILE
 
 
 def _kernel(logL_ref, wv_ref, xg_ref, out_ref, s_ref, *, tile):

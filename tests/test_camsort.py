@@ -82,8 +82,9 @@ def test_lm_step_with_camsort_matches_without():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_lm_step_with_pallas_chain_matches_xla():
+def test_lm_step_with_pallas_chain_matches_xla(monkeypatch):
     """Fused Pallas Schur matvec (interpret mode on CPU) vs the XLA chain."""
+    monkeypatch.setenv("ISFM_PALLAS_FORCE", "1")   # size gate: tests are tiny
     from instantsfm_tpu.solve import robust
     from instantsfm_tpu.solve.block_lm import LMConfig, LMState, lm_step
     from instantsfm_tpu.solve.blocked import bucketize_problem
@@ -112,8 +113,9 @@ def test_lm_step_with_pallas_chain_matches_xla():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_gp_step_with_pallas_chain_matches_xla():
+def test_gp_step_with_pallas_chain_matches_xla(monkeypatch):
     """GP problem (PC=3, scales eliminated) through the fused chain."""
+    monkeypatch.setenv("ISFM_PALLAS_FORCE", "1")   # size gate: tests are tiny
     from instantsfm_tpu.solve import robust
     from instantsfm_tpu.solve.block_lm import LMConfig, LMState, lm_step
     from instantsfm_tpu.solve.blocked import bucketize_problem
