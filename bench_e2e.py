@@ -24,25 +24,31 @@ import numpy as np
 
 
 def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
-                   match_noise=0.4, outlier_frac=0.08, vis_angle=0.9):
+                   match_noise=0.4, outlier_frac=0.08, vis_angle=0.9,
+                   scene_scale=1.0):
+    """``scene_scale`` grows the camera ring radius and the point volume
+    together so the adjacent-camera baseline stays constant as ``num_cams``
+    grows (config-4 runs use scale num_cams/500 to keep two-view geometry
+    as well-conditioned as the 500-image config)."""
     from scipy.spatial.transform import Rotation as R
 
     from instantsfm_tpu.io.colmap_db import ColmapDatabase
     from instantsfm_tpu.scene import cameras as cm
     from instantsfm_tpu.scene.types import CONFIG_CALIBRATED
-    import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     model_id = cm.SIMPLE_RADIAL
     params = cm.pad_params([520.0, 320.0, 240.0, 0.01])
+    f_px, cx, cy, k1 = 520.0, 320.0, 240.0, 0.01
     width, height = 640, 480
 
     # cameras on a circle around a room-scale point volume; each camera sees a
     # directional subset of points so only nearby views share many tracks
     angles = np.linspace(0, 2 * np.pi, num_cams, endpoint=False)
-    centers = np.stack([8 * np.cos(angles), 8 * np.sin(angles),
+    radius = 8.0 * scene_scale
+    centers = np.stack([radius * np.cos(angles), radius * np.sin(angles),
                         1.0 + 0.3 * rng.standard_normal(num_cams)], -1)
-    points = rng.uniform(-3, 3, (num_pts, 3))
+    points = rng.uniform(-3 * scene_scale, 3 * scene_scale, (num_pts, 3))
     pt_angle = np.arctan2(points[:, 1], points[:, 0])
 
     qvec, tvec = [], []
@@ -55,11 +61,20 @@ def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
         tvec.append(-Rm @ c)
     qvec, tvec = np.array(qvec), np.array(tvec)
 
-    kp, feat_of_pt = [], []
+    def project_np(xyz):
+        # host-side SIMPLE_RADIAL forward model (builder only — the jitted
+        # cameras.img_from_cam would round-trip num_pts through the device
+        # tunnel once per camera)
+        uv = xyz[:, :2] / (xyz[:, 2:3] + 1e-12)
+        r2 = np.sum(uv * uv, axis=1, keepdims=True)
+        return uv * (1.0 + k1 * r2) * f_px + np.array([cx, cy])
+
+    # per-camera visible point ids (sorted) + noisy keypoints; kept sparse so
+    # host memory stays O(observations), not O(num_cams * num_pts)
+    kp, idx_of = [], []
     for i in range(num_cams):
         xyz = R.from_quat(qvec[i]).apply(points) + tvec[i]
-        xy = np.asarray(cm.img_from_cam(model_id, jnp.asarray(params),
-                                        jnp.asarray(xyz)))
+        xy = project_np(xyz)
         # visibility: in front, in frame, and angularly near the camera
         dang = np.abs(np.angle(np.exp(1j * (pt_angle - angles[i]))))
         vis = ((xyz[:, 2] > 0.5) & (dang < vis_angle)
@@ -67,9 +82,7 @@ def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
                & (xy[:, 1] > 0) & (xy[:, 1] < height))
         idx = np.nonzero(vis)[0]
         kp.append(xy[idx] + match_noise * rng.standard_normal((len(idx), 2)))
-        f = -np.ones(num_pts, np.int64)
-        f[idx] = np.arange(len(idx))
-        feat_of_pt.append(f)
+        idx_of.append(idx.astype(np.int32))
 
     with ColmapDatabase.connect(dbpath) as db:
         db.create_tables()
@@ -80,18 +93,22 @@ def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
         for i in range(num_cams):
             db.add_keypoints(img_ids[i], kp[i])
         n_pairs = n_matches = 0
+        map_i = np.full(num_pts, -1, np.int32)   # scratch: point -> feat in i
         for i in range(num_cams):
+            map_i[:] = -1
+            map_i[idx_of[i]] = np.arange(len(idx_of[i]), dtype=np.int32)
             for dj in range(1, window + 1):
                 j = (i + dj) % num_cams
+                fi_of_j = map_i[idx_of[j]]       # feat id in i of j's points
+                both = fi_of_j >= 0
+                if int(both.sum()) < 30:
+                    continue
+                fi = fi_of_j[both]
+                fj = np.nonzero(both)[0].astype(np.int32)
                 # ring wrap: emit (j, i) ordered so every ring edge appears
                 # exactly once (j < i happens only on wrapped pairs)
                 a, b = (j, i) if j < i else (i, j)
-                shared = np.nonzero((feat_of_pt[a] >= 0)
-                                    & (feat_of_pt[b] >= 0))[0]
-                if len(shared) < 30:
-                    continue
-                m = np.stack([feat_of_pt[a][shared],
-                              feat_of_pt[b][shared]], 1)
+                m = np.stack([fj, fi] if j < i else [fi, fj], 1)
                 n_out = int(outlier_frac * len(m))
                 if n_out:
                     sel = rng.choice(len(m), n_out, replace=False)
@@ -167,6 +184,16 @@ def run_pipeline(dbpath, num_cams, log):
     print(f"[stage] TOTAL                 {total:7.2f}s  "
           f"({int(images.registered.sum())}/{num_cams} registered, "
           f"{tracks.num_tracks} tracks)", file=sys.stderr)
+    import resource
+
+    import jax
+
+    peak_host_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    try:  # peak device HBM (TPU runtime exposes it; absent on CPU backend)
+        stats = jax.devices()[0].memory_stats() or {}
+        peak_dev_gb = stats.get("peak_bytes_in_use", 0) / 1e9
+    except Exception:
+        peak_dev_gb = None
     rec = {
         "images_per_sec": round(num_cams / total, 3),
         "total_sec": round(total, 2),
@@ -175,6 +202,9 @@ def run_pipeline(dbpath, num_cams, log):
         "write_sec": round(t_write, 2),
         "tracks": int(tracks.num_tracks),
         "lm_iters": lm_stats,     # per-solve LM iteration counts (variance)
+        "peak_host_gb": round(peak_host_gb, 2),
+        "peak_device_gb": (round(peak_dev_gb, 2)
+                           if peak_dev_gb is not None else None),
     }
     return rec, images
 
@@ -186,12 +216,19 @@ def main():
     # a narrow cone keeps keypoints/image (~16k) and track lengths (~8)
     # realistic instead of every camera seeing 29% of the cloud
     vis_angle = float(os.environ.get("BENCH_E2E_VIS_ANGLE", "0.9"))
+    window = int(os.environ.get("BENCH_E2E_WINDOW", "12"))
+    scene_scale = float(os.environ.get("BENCH_E2E_SCALE", "1"))
     out_json = os.environ.get("BENCH_E2E_OUT")   # optional artifact path
-    dbpath = f"/tmp/bench_e2e_{num_cams}_{num_pts}_{vis_angle}.db"
+    tag = f"{num_cams}_{num_pts}_{vis_angle}"
+    if (window, scene_scale) != (12, 1.0):
+        tag += f"_w{window}_s{scene_scale}"
+    dbpath = f"/tmp/bench_e2e_{tag}.db"
     if not (os.path.exists(dbpath) and os.path.exists(dbpath + ".gt.npz")):
         t0 = time.time()
         n_pairs, n_matches = build_scene_db(dbpath, num_cams, num_pts,
-                                            vis_angle=vis_angle)
+                                            window=window,
+                                            vis_angle=vis_angle,
+                                            scene_scale=scene_scale)
         print(f"[setup] db built in {time.time()-t0:.1f}s "
               f"({n_pairs} pairs, {n_matches} matches)", file=sys.stderr)
 

@@ -139,6 +139,8 @@ def test_handler_gates_on_missing_weights(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="lightglue"):
         generate_database(str(tmp_path), str(tmp_path / "db.db"),
                           feature_name="superpoint+lightglue")
-    with pytest.raises(RuntimeError, match="only 'superpoint\\+lightglue'"):
+    # disk+lightglue is implemented (features/disk.py) and weight-gates the
+    # same way — its matcher checkpoint is DISK-specific
+    with pytest.raises(RuntimeError, match="disk_lightglue"):
         generate_database(str(tmp_path), str(tmp_path / "db.db"),
                           feature_name="disk+lightglue")
