@@ -51,8 +51,11 @@ def get_lib():
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.uf_connected_components.argtypes = [
             i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.uf_connected_components_i32.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p]
         lib.bilinear_sample_u8.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f64p,
             ctypes.c_int64, f32p]
@@ -67,6 +70,12 @@ def connected_components(e1: np.ndarray, e2: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
+    if n_nodes < 2**31:     # int32 path: half the parent-array traffic
+        e1 = np.ascontiguousarray(e1, np.int32)
+        e2 = np.ascontiguousarray(e2, np.int32)
+        labels = np.empty(n_nodes, np.int32)
+        lib.uf_connected_components_i32(e1, e2, len(e1), n_nodes, labels)
+        return labels
     e1 = np.ascontiguousarray(e1, np.int64)
     e2 = np.ascontiguousarray(e2, np.int64)
     labels = np.empty(n_nodes, np.int64)

@@ -66,7 +66,18 @@ def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict,
     feat = (nodes - images.kp_offset[img]).astype(np.int32)
 
     # ---- consistency: same-image spread within a track <= thres (bbox diag)
-    order = np.lexsort((feat, img, labels))
+    # single packed-key argsort instead of a 3-key lexsort (~3x at 8M rows);
+    # keys are unique (feat ids are unique within an image) so stability is
+    # moot and the default introsort applies
+    bi = max(int(images.num_images), 1).bit_length()
+    bf = int(feat.max() + 1).bit_length()
+    bl = int(labels.max() + 1).bit_length()
+    if bl + bi + bf <= 63:
+        key = ((labels.astype(np.int64) << (bi + bf))
+               | (img.astype(np.int64) << bf) | feat.astype(np.int64))
+        order = np.argsort(key)
+    else:
+        order = np.lexsort((feat, img, labels))
     labels_s, img_s, feat_s = labels[order], img[order], feat[order]
     counts_s = counts[order]
     xy = images.kp_xy[images.kp_index(img_s, feat_s)]
@@ -94,9 +105,18 @@ def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict,
     np.logical_or.at(bad_track, grp_track[bad_grp], True)
 
     # ---- dedup: one observation per (track, image): keep max ref count
-    best_in_grp = np.zeros(n_grp, np.int64)
-    # order within group is by feat; pick argmax count via sort trick
-    ord2 = np.lexsort((feat_s, -counts_s, grp_id))
+    # order within group is by feat; pick argmax count via sort trick.
+    # Same packed-key rewrite as above: (grp_id, -count, feat) in one int64;
+    # counts clamp to 15 bits (a keypoint touches <= 2*window pairs, so real
+    # counts are tiny — the clamp only affects tie order among >32767s).
+    bg = int(n_grp).bit_length()
+    if bg + 15 + bf <= 63:
+        cc = np.minimum(counts_s, 32767).astype(np.int64)
+        key2 = ((grp_id << (15 + bf)) | ((32767 - cc) << bf)
+                | feat_s.astype(np.int64))
+        ord2 = np.argsort(key2)
+    else:
+        ord2 = np.lexsort((feat_s, -counts_s, grp_id))
     first_of_grp = np.empty(len(grp_key), bool)
     gid2 = grp_id[ord2]
     first_of_grp[0] = True
@@ -115,18 +135,21 @@ def establish_tracks(view_graph: ViewGraph, images: Images, opts: dict,
     def _build(lab, img, feat):
         if len(lab) == 0:
             return Tracks.empty()
-        uniq_labels, lab_dense = np.unique(lab, return_inverse=True)
-        T = len(uniq_labels)
-        order3 = np.argsort(lab_dense, kind="stable")
-        lab_dense = lab_dense[order3]
-        img_o = img[order3]
-        feat_o = feat[order3]
+        # ``lab`` arrives sorted ascending (labels_s is the primary sort key
+        # and every downstream mask preserves order), so dense track ids come
+        # from adjacent diffs — no unique/argsort pass at 6M+ observations
+        new_t = np.empty(len(lab), bool)
+        new_t[0] = True
+        np.not_equal(lab[1:], lab[:-1], out=new_t[1:])
+        lab_dense = np.cumsum(new_t) - 1
+        T = int(lab_dense[-1]) + 1
+        uniq_labels = lab[new_t]
         lengths = np.bincount(lab_dense, minlength=T)
         offset = np.zeros(T + 1, np.int64)
         np.cumsum(lengths, out=offset[1:])
         return Tracks(
             xyz=np.zeros((T, 3)), color=np.zeros((T, 3), np.uint8),
-            obs_image=img_o.astype(np.int32), obs_feature=feat_o.astype(np.int32),
+            obs_image=img.astype(np.int32), obs_feature=feat.astype(np.int32),
             obs_offset=offset, track_id=uniq_labels.astype(np.int64))
 
     # ---- track length filter (the "problem" subset, FindTracksForProblem)

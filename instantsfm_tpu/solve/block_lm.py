@@ -495,17 +495,20 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
         iters = jnp.asarray(0, jnp.int32)
     else:
         # fused Pallas chain (solve/pallas_schur.py) when the bucketed
-        # layout is tile-aligned AND the problem is large enough that the
-        # kernel's standalone camera gather amortizes (r4 A/B: wins at 8M
-        # obs, loses at 450k — pallas_schur.PALLAS_MIN_OBS); exact-f32 XLA
-        # chain otherwise.  ISFM_PALLAS_FORCE=1 ignores the size gate.
+        # layout is tile-aligned AND the problem is in the measured-win
+        # regime: BA-shaped blocks (PC == 8) with O in [PALLAS_MIN_OBS,
+        # PALLAS_MAX_OBS] (r4 A/B: wins at 8M obs, loses at 450k; above
+        # ~9M the materialized gather streams OOM a 16 GB chip — see
+        # pallas_schur.PALLAS_MAX_OBS).  Exact-f32 XLA chain otherwise.
+        # ISFM_PALLAS_FORCE=1 ignores all size/shape gates.
         use_pallas = False
         if pallas_tile and buckets and not axis_name and C <= pallas_tile \
                 and PC <= 8:
             from instantsfm_tpu.solve import pallas_schur as ps
             import os as _os2
-            big = (O >= ps.PALLAS_MIN_OBS
-                   or bool(_os2.environ.get("ISFM_PALLAS_FORCE")))
+            force = bool(_os2.environ.get("ISFM_PALLAS_FORCE"))
+            big = force or (ps.PALLAS_MIN_OBS <= O <= ps.PALLAS_MAX_OBS
+                            and PC == 8)
             _logL = ps.tile_logL(buckets, pallas_tile) if big else None
             use_pallas = _logL is not None and O % pallas_tile == 0
 

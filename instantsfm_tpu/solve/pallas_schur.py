@@ -60,6 +60,13 @@ DEFAULT_TILE = 4096
 # it/s, 450k obs, r3) and WINS at BA500 (1.252 vs 1.194 it/s, 8M obs, r4).
 # The solver auto-enables it above this observation count.
 PALLAS_MIN_OBS = 4_000_000
+# Upper bound for the auto-gate: the chain materializes per-iteration [O', 8]
+# gather streams that XLA may lay out lane-padded to 128; at the 2k-image
+# config (12.3M bucketed obs) that compiled to 4x ~5.9 GB HLO temps and OOMed
+# a 16 GB v5e, while the measured-win BA500 config (8M obs) fits.  Above this
+# the fused XLA while-loop chain (which keeps those buffers inside the loop
+# body) is used instead.  ISFM_PALLAS_FORCE=1 overrides.
+PALLAS_MAX_OBS = 9_000_000
 
 
 def default_pallas_tile() -> int:
@@ -174,9 +181,12 @@ def pack_wvt(W, V_inv_obs, PC: int):
 
 
 def pack_xg(x, cam_idx):
-    """[C, PC] -> gathered [O', PCP] stream (zero-padded components)."""
-    xg = x[cam_idx]
+    """[C, PC] -> gathered [O', PCP] stream (zero-padded components).
+
+    The pad runs on the [C, PC] table BEFORE the gather: padding after would
+    materialize an [O', PC] intermediate that XLA lays out lane-padded to 128
+    (42.7x HBM expansion at PC=3 — the 2k-config OOM)."""
     PC = x.shape[1]
     if PC < PCP:
-        xg = jnp.pad(xg, ((0, 0), (0, PCP - PC)))
-    return xg
+        x = jnp.pad(x, ((0, 0), (0, PCP - PC)))
+    return x[cam_idx]
