@@ -165,6 +165,68 @@ def cam_reduce(vals, cam_idx, C: int):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def cam_reduce_T(vals_T, cam_idx, C: int):
+    """``cam_reduce`` for lane-major values: [K, O] -> [C, K].
+
+    The one-hot rides as the dot's RHS (contraction over the minor O axis),
+    so the operand never needs the [O, K<128] lane-padded layout (see the
+    lane-major note in solve/blocked.py).  Same one-shot / chunked-fori size
+    gate as ``cam_reduce``; no scatter fallback — lane-major exists exactly
+    because segment scatters need the segment axis major."""
+    K, O = vals_T.shape
+    import os as _os
+
+    force = _os.environ.get("ISFM_CAMRED")
+    use_fori = (force == "fori") if force else (O * C * K > 5e10)
+    classes = jnp.arange(C, dtype=cam_idx.dtype)
+    if use_fori:
+        chunk = 32768
+        pad = (-O) % chunk
+        if pad:
+            vals_T = jnp.concatenate(
+                [vals_T, jnp.zeros((K, pad), vals_T.dtype)], axis=1)
+            cam_idx = jnp.concatenate(
+                [cam_idx, jnp.full((pad,), C, cam_idx.dtype)])
+
+        def body(i, acc):
+            v = jax.lax.dynamic_slice_in_dim(vals_T, i * chunk, chunk, axis=1)
+            ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
+            oh = (ids[:, None] == classes[None, :]).astype(vals_T.dtype)
+            return acc + jnp.dot(v, oh, preferred_element_type=vals_T.dtype,
+                                 precision=jax.lax.Precision.HIGHEST).T
+
+        return jax.lax.fori_loop(0, (O + pad) // chunk, body,
+                                 jnp.zeros((C, K), vals_T.dtype))
+    oh = (cam_idx[:, None] == classes[None, :]).astype(vals_T.dtype)
+    return jnp.dot(vals_T, oh, preferred_element_type=vals_T.dtype,
+                   precision=jax.lax.Precision.HIGHEST).T
+
+
+# lane-major layout threshold: above this many (bucketed) observations the
+# solver carries every [O, k]-shaped boundary array transposed ([k, O]).
+# Applies only to NARROW camera blocks (PC <= _TLAYOUT_MAX_PC, i.e. the
+# GP-shaped problems): there the default graph materializes [O, 3] buffers
+# lane-padded 42.7x (OOM at config-4 scale, ~10x chain slowdown measured),
+# while at PC == 8 (BA) XLA keeps the chain fused and lane-major LOSES
+# (0.86 vs 1.25 it/s at BA500 — the [8, C]-table minor-axis gathers are
+# strided; same mechanism as the r2 component-SoA negative result).
+# ISFM_TLAYOUT overrides ("0" disables, any integer sets the obs threshold
+# and lifts the PC gate).
+_TLAYOUT_MIN = 2_000_000
+_TLAYOUT_MAX_PC = 4
+
+
+def _use_tlayout(O: int, buckets, PC: int) -> bool:
+    import os as _os
+
+    v = _os.environ.get("ISFM_TLAYOUT")
+    if v is not None:
+        if v.strip() in ("0", "off", "false"):
+            return False
+        return bool(buckets) and O >= int(v)
+    return bool(buckets) and O >= _TLAYOUT_MIN and PC <= _TLAYOUT_MAX_PC
+
+
 def _seg_by_cam(x, cam_idx, C, cam_buckets=(), cam_arrays=None):
     """Camera-indexed reduction of [O, ...] -> [C, ...].
 
@@ -205,12 +267,24 @@ def _gather_by_pt(arr, pt_idx, buckets, O):
 _EVAL_CHUNK = 1 << 21
 
 
-def _chunked_vmap(fn, args, chunk: int = _EVAL_CHUNK):
+def _chunked_vmap(fn, args, chunk: int = _EVAL_CHUNK, lane_major=None):
     """vmap(fn)(*args) evaluated slab-by-slab with lax.map so per-element
-    temporaries never exceed ``chunk`` rows; outputs match the one-shot vmap."""
+    temporaries never exceed ``chunk`` rows; outputs match the one-shot vmap.
+
+    ``lane_major``: optional tuple of bools (one per output) — flagged
+    outputs are emitted TRANSPOSED, with the observation axis moved last
+    ([k, O] instead of [O, k]), so they materialize compactly on TPU (see
+    the lane-major note in solve/blocked.py)."""
     O = jax.tree_util.tree_leaves(args)[0].shape[0]
+
+    def tpost(outs):
+        if lane_major is None:
+            return outs
+        return tuple(jnp.moveaxis(o, 0, -1) if lm else o
+                     for o, lm in zip(outs, lane_major))
+
     if O <= chunk:
-        return jax.vmap(fn)(*args)
+        return tpost(jax.vmap(fn)(*args))
     pad = (-O) % chunk
 
     def prep(a):
@@ -220,30 +294,60 @@ def _chunked_vmap(fn, args, chunk: int = _EVAL_CHUNK):
         return a.reshape((-1, chunk) + a.shape[1:])
 
     args_c = jax.tree_util.tree_map(prep, args)
-    outs = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), args_c)
-    return jax.tree_util.tree_map(
-        lambda o: o.reshape((O + pad,) + o.shape[2:])[:O], outs)
+    outs = jax.lax.map(lambda xs: tpost(jax.vmap(fn)(*xs)), args_c)
+
+    def fix(o, lm):
+        if lm:   # [n_slabs, ..., chunk] -> [..., O]
+            o = jnp.moveaxis(o, 0, -2)
+            return o.reshape(o.shape[:-2] + (-1,))[..., :O]
+        return o.reshape((O + pad,) + o.shape[2:])[:O]
+
+    if lane_major is None:
+        return jax.tree_util.tree_map(lambda o: fix(o, False), outs)
+    return tuple(fix(o, lm) for o, lm in zip(outs, lane_major))
 
 
 def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
                  kernel: robust_mod.RobustKernel,
-                 axis_name: str = None) -> jnp.ndarray:
+                 axis_name: str = None, buckets: tuple = ()) -> jnp.ndarray:
     """Robust cost sum_o rho(||r_o||^2) over valid observations."""
-    # plain indexing: barrier-isolated gathers materialize [O,3] operands in
-    # lane-padded default layouts (42x memory; see ops/gather.py) and are
-    # perf-neutral here (measured via ISFM_ISOLATE_MODE=2 on bench.py)
-    cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
-    pt_g = params.pts[obs.pt_idx]
-    sc_g = params.scales
     PC = problem.cam_dim
 
+    if _use_tlayout(obs.valid.shape[0], buckets, PC):
+        # gathers run per-element INSIDE the slab map (a [O, k<128] gather
+        # output materializes lane-padded to 128 — 42x HBM at k=3; see the
+        # lane-major note in solve/blocked.py), and only the scalar ||r||^2
+        # leaves the map
+        def s_of(ci, pi, sc_ref, data):
+            cam_ref = jax.tree_util.tree_map(lambda a: a[ci], params.cam)
+            pt_ref = params.pts[pi]
+            z_c = jnp.zeros((PC,), pt_ref.dtype if problem.has_points
+                            else jnp.result_type(float))
+            z_p = jnp.zeros((3,), z_c.dtype)
+            z_s = jnp.zeros((1,), z_c.dtype)
+            r = problem.residual_fn(z_c, cam_ref, z_p, pt_ref, z_s, sc_ref,
+                                    data)
+            return jnp.sum(r * r)
+
+        s = _chunked_vmap(s_of, (obs.cam_idx, obs.pt_idx, params.scales,
+                                 obs.data))
+        return _ar(jnp.sum(jnp.where(obs.valid, kernel.loss(s), 0.0)),
+                   axis_name)
+
+    # plain indexing: upfront gathers measured faster at small scale
+    # (19.9 vs 17.0 it/s on the default bench, 2026-08-21 A/B)
+    cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
+    pt_g = params.pts[obs.pt_idx]
+
     def res(cam_ref, pt_ref, sc_ref, data):
-        z_c = jnp.zeros((PC,), pt_ref.dtype if problem.has_points else jnp.result_type(float))
+        z_c = jnp.zeros((PC,), pt_ref.dtype if problem.has_points
+                        else jnp.result_type(float))
         z_p = jnp.zeros((3,), z_c.dtype)
         z_s = jnp.zeros((1,), z_c.dtype)
-        return problem.residual_fn(z_c, cam_ref, z_p, pt_ref, z_s, sc_ref, data)
+        return problem.residual_fn(z_c, cam_ref, z_p, pt_ref, z_s, sc_ref,
+                                   data)
 
-    r = jax.vmap(res)(cam_g, pt_g, sc_g, obs.data)
+    r = jax.vmap(res)(cam_g, pt_g, params.scales, obs.data)
     s = jnp.sum(r * r, axis=-1)
     return _ar(jnp.sum(jnp.where(obs.valid, kernel.loss(s), 0.0)), axis_name)
 
@@ -254,34 +358,109 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
                  axis_name: str = None, cam_buckets: tuple = (),
                  cam_arrays=None) -> NormalSystem:
     """Evaluate residuals + per-block Jacobians, apply robust whitening and
-    (optionally) eliminate per-observation scalars; reduce into U/V/W/g."""
+    (optionally) eliminate per-observation scalars; reduce into U/V/W/g.
+
+    Above ``_TLAYOUT_MIN`` observations everything per-observation is
+    carried LANE-MAJOR ([k, O] / [k1, k2, O] — observation axis minor):
+    a materialized [O, k<128] f32 array is laid out T(8,128) on TPU with
+    the trailing dim padded to 128 lanes (42.7x HBM at k=3), which both
+    OOMs the chip at config-4 scale and pays the padding in bandwidth on
+    every kernel-boundary crossing (measured 10x on the Schur chain; see
+    solve/blocked.py).  The NormalSystem then stores V as [9, T], g_pt as
+    [3, T], and the W/Jc_s/Jp_s flats in lane-major order — solve_damped
+    branches on the same ``_use_tlayout`` predicate."""
     PC, R = problem.cam_dim, problem.res_dim
     C = _num_cams(params)
-    # plain indexing: barrier-isolated gathers materialize [O,3] operands in
-    # lane-padded default layouts (42x memory; see ops/gather.py) and are
-    # perf-neutral here (measured via ISFM_ISOLATE_MODE=2 on bench.py)
-    cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
-    pt_g = params.pts[obs.pt_idx]
+    O_n = obs.valid.shape[0]
+    tl = _use_tlayout(O_n, buckets, PC) and not cam_buckets
 
     def local_res(deltas, cam_ref, pt_ref, sc_ref, data):
         dc, dp, ds = deltas
         return problem.residual_fn(dc, cam_ref, dp, pt_ref, ds, sc_ref, data)
 
-    def res_and_jac(cam_ref, pt_ref, sc_ref, data):
-        dtype = pt_g.dtype
-        zeros = (jnp.zeros((PC,), dtype), jnp.zeros((3,), dtype), jnp.zeros((1,), dtype))
+    valid = obs.valid
+
+    # All J products below are broadcast-multiply-reduce, NOT einsum/dot:
+    # XLA lowers batched tiny matmuls ([O,2,8]x[O,8,8]...) onto the MXU at
+    # ~1% tile utilization AND in bf16 (default f32 matmul precision), which
+    # is both ~4x slower and a conditioning hazard; mul-sum stays on the VPU
+    # in exact f32 (measured on TPU: D_corr 12.4ms -> 3.0ms).
+    if tl:
+        # camera/point gathers run per-element INSIDE the slab map: a
+        # top-level [O, k<128] gather output materializes lane-padded
+        # (42x at k=3); evaluated in bounded observation slabs because the
+        # jacfwd temporaries are O(tangents x residual-chain) per element
+        def res_and_jac(ci, pi, sc_ref, data):
+            cam_ref = jax.tree_util.tree_map(lambda a: a[ci], params.cam)
+            pt_ref = params.pts[pi]
+            dtype = params.pts.dtype
+            zeros = (jnp.zeros((PC,), dtype), jnp.zeros((3,), dtype),
+                     jnp.zeros((1,), dtype))
+            r = local_res(zeros, cam_ref, pt_ref, sc_ref, data)
+            jc, jp, js = jax.jacfwd(local_res)(zeros, cam_ref, pt_ref,
+                                               sc_ref, data)
+            return r, jc, jp, js[..., 0]
+
+        rT, JcT, JpT, JsT = _chunked_vmap(
+            res_and_jac, (obs.cam_idx, obs.pt_idx, params.scales, obs.data),
+            lane_major=(True, True, True, True))
+        # rT: [R,O], JcT: [R,PC,O], JpT: [R,3,O], JsT: [R,O]
+        s = jnp.sum(rT * rT, axis=0)
+        w = jnp.where(valid, kernel.weight(s), 0.0)        # [O]
+        cost = jnp.sum(jnp.where(valid, kernel.loss(s), 0.0))
+        swv = jnp.sqrt(w)                                  # [O]
+
+        rT = rT * swv
+        JcT = JcT * swv
+        JpT = JpT * swv if problem.has_points else jnp.zeros_like(JpT)
+        if problem.has_scales:
+            JsT = JsT * swv * params.scales_free
+        else:
+            JsT = jnp.zeros_like(JsT)
+
+        Hss = jnp.sum(JsT * JsT, axis=0)                   # [O]
+        g_s = -jnp.sum(JsT * rT, axis=0)                   # [O]
+        Jc_s = jnp.sum(JcT * JsT[:, None, :], axis=0)      # [PC, O]
+        Jp_s = jnp.sum(JpT * JsT[:, None, :], axis=0)      # [3, O]
+        U_oT = jnp.sum(JcT[:, :, None, :] * JcT[:, None, :, :], 0)  # [PC,PC,O]
+        V_oT = jnp.sum(JpT[:, :, None, :] * JpT[:, None, :, :], 0)  # [3,3,O]
+        W = jnp.sum(JcT[:, :, None, :] * JpT[:, None, :, :], 0)     # [PC,3,O]
+        gc_oT = -jnp.sum(JcT * rT[:, None, :], axis=0)     # [PC, O]
+        gp_oT = -jnp.sum(JpT * rT[:, None, :], axis=0)     # [3, O]
+
+        Ug = _ar(cam_reduce_T(
+            jnp.concatenate([U_oT.reshape(PC * PC, O_n), gc_oT], axis=0),
+            obs.cam_idx, C), axis_name)
+        U = Ug[:, :PC * PC].reshape(C, PC, PC)
+        g_cam = Ug[:, PC * PC:]
+        # V/g_pt reduced separately (same miscompile caution as below) and
+        # kept lane-major: V [9, T], g_pt [3, T]
+        from instantsfm_tpu.solve.blocked import seg_by_pt_T
+        V = seg_by_pt_T(V_oT.reshape(9, O_n), buckets)
+        g_pt = seg_by_pt_T(gp_oT, buckets)
+        return NormalSystem(U=U, V=V, W=W.reshape(-1), g_cam=g_cam,
+                            g_pt=g_pt, Hss=Hss, Jc_s=Jc_s.reshape(-1),
+                            Jp_s=Jp_s.reshape(-1), g_s=g_s,
+                            cost=_ar(cost, axis_name))
+
+    # small-problem path: upfront gathers measured faster on the default
+    # bench (19.9 vs 17.0 it/s, 2026-08-21 A/B) and memory is a non-issue
+    cam_g = jax.tree_util.tree_map(lambda a: a[obs.cam_idx], params.cam)
+    pt_g = params.pts[obs.pt_idx]
+
+    def res_and_jac_g(cam_ref, pt_ref, sc_ref, data):
+        dtype = params.pts.dtype
+        zeros = (jnp.zeros((PC,), dtype), jnp.zeros((3,), dtype),
+                 jnp.zeros((1,), dtype))
         r = local_res(zeros, cam_ref, pt_ref, sc_ref, data)
-        jc, jp, js = jax.jacfwd(local_res)(zeros, cam_ref, pt_ref, sc_ref, data)
+        jc, jp, js = jax.jacfwd(local_res)(zeros, cam_ref, pt_ref, sc_ref,
+                                           data)
         return r, jc, jp, js[..., 0]
 
-    # evaluate in bounded observation slabs: the jacfwd temporaries are
-    # O(tangents x residual-chain) per observation and exceed HBM for
-    # multi-million-observation problems if vmapped in one shot
-    r, Jc, Jp, Js = _chunked_vmap(res_and_jac,
+    r, Jc, Jp, Js = _chunked_vmap(res_and_jac_g,
                                   (cam_g, pt_g, params.scales, obs.data))
     # r: [O,R], Jc: [O,R,PC], Jp: [O,R,3], Js: [O,R]
 
-    valid = obs.valid
     s = jnp.sum(r * r, axis=-1)
     w = jnp.where(valid, kernel.weight(s), 0.0)            # [O]
     cost = jnp.sum(jnp.where(valid, kernel.loss(s), 0.0))
@@ -294,12 +473,6 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
         Js = Js * sw * params.scales_free[:, None]
     else:
         Js = jnp.zeros_like(Js)
-
-    # All products below are broadcast-multiply-reduce, NOT einsum/dot:
-    # XLA lowers batched tiny matmuls ([O,2,8]x[O,8,8]...) onto the MXU at
-    # ~1% tile utilization AND in bf16 (default f32 matmul precision), which
-    # is both ~4x slower and a conditioning hazard; mul-sum stays on the VPU
-    # in exact f32 (measured on TPU: D_corr 12.4ms -> 3.0ms).
 
     # scalar-block partial products (eliminated later with damping)
     Hss = jnp.sum(Js * Js, axis=-1)                        # [O]
@@ -316,7 +489,6 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
     # U and g_cam reduce in ONE camera-axis pass (the chunked one-hot loop
     # materializes its one-hot per call; concatenating the operands halves
     # that traffic — r4, VERDICT directive 1)
-    O_n = r.shape[0]
     Ug = _ar(_seg_by_cam(
         jnp.concatenate([U_o.reshape(O_n, PC * PC), gc_o], axis=1),
         obs.cam_idx, C, cam_buckets, cam_arrays), axis_name)
@@ -379,6 +551,34 @@ def _inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
+def _damped9(V9, lam, eps):
+    """Lane-major ``_damped`` for [9, T] stacks of row-major 3x3 blocks."""
+    dmask = jnp.asarray([1., 0., 0., 0., 1., 0., 0., 0., 1.],
+                        V9.dtype)[:, None]
+    return V9 * (1.0 + lam * dmask) + eps * dmask
+
+
+def _inv9(V9):
+    """Lane-major ``_inv3x3``: closed-form inverse of [9, T] 3x3 blocks."""
+    a, b, c, d, e, f, g, h, i = (V9[k] for k in range(9))
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    Cf = d * h - e * g
+    det = a * A + b * B + c * Cf
+    inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, 1.0 / det)
+    adj = jnp.stack([
+        A, -(b * i - c * h), (b * f - c * e),
+        B, (a * i - c * g), -(a * f - c * d),
+        Cf, -(a * h - b * g), (a * e - b * d),
+    ], axis=0)
+    return adj * inv_det
+
+
+def _mv9(M9, v):
+    """Lane-major batched 3x3 matvec: [9, T] blocks x [3, T] -> [3, T]."""
+    return jnp.sum(M9.reshape(3, 3, -1) * v[None, :, :], axis=1)
+
+
 def _chol3x3(M):
     """Closed-form batched Cholesky of SPD (..., 3, 3): M = L Lᵀ."""
     a = jnp.sqrt(jnp.maximum(M[..., 0, 0], 1e-30))
@@ -401,6 +601,109 @@ def _tri3_solve(L, B):
     return jnp.stack([x0, x1, x2], axis=-2)
 
 
+def _solve_damped_T(problem, sys, obs, lam, pcg_iters, pcg_tol, eps,
+                    buckets, axis_name):
+    """Lane-major damped solve (build_system's tlayout convention: W flat of
+    [PC, 3, O], V [9, T], g_pt [3, T], Jc_s flat of [PC, O], Jp_s flat of
+    [3, O]).  PCG only — at lane-major scale (millions of observations) the
+    dense Schur path is never competitive."""
+    from instantsfm_tpu.solve.blocked import gather_pt_T, seg_by_pt_T
+
+    PC = problem.cam_dim
+    C = sys.U.shape[0]
+    T = sys.g_pt.shape[1]
+    O = obs.valid.shape[0]
+    W = sys.W.reshape(PC, 3, O)
+    U, V9 = sys.U, sys.V
+    g_cam, g_ptT = sys.g_cam, sys.g_pt
+    cam_idx = obs.cam_idx
+
+    if problem.has_scales:
+        # eliminate per-observation scalar: damped Hss, rank-1 downdates
+        Jc_sT = sys.Jc_s.reshape(PC, O)
+        Jp_sT = sys.Jp_s.reshape(3, O)
+        Hss_d = sys.Hss * (1.0 + lam) + eps
+        inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)          # [O]
+        U_corrT = Jc_sT[:, None, :] * Jc_sT[None, :, :] * inv_hss   # [PC,PC,O]
+        V_corrT = Jp_sT[:, None, :] * Jp_sT[None, :, :] * inv_hss   # [3,3,O]
+        W_corrT = Jc_sT[:, None, :] * Jp_sT[None, :, :] * inv_hss   # [PC,3,O]
+        gs_ih = inv_hss * sys.g_s
+        cc = _ar(cam_reduce_T(jnp.concatenate(
+            [U_corrT.reshape(PC * PC, O), Jc_sT * gs_ih], axis=0),
+            cam_idx, C), axis_name)
+        U = U - cc[:, :PC * PC].reshape(C, PC, PC)
+        g_cam = g_cam - cc[:, PC * PC:]
+        V9 = V9 - seg_by_pt_T(V_corrT.reshape(9, O), buckets)
+        g_ptT = g_ptT - seg_by_pt_T(Jp_sT * gs_ih, buckets)
+        W = W - W_corrT
+
+    U_d = _damped(U, lam, eps)
+    V9_inv = _inv9(_damped9(V9, lam, eps))
+
+    if not problem.has_points:
+        d_cam = _mv(jnp.linalg.inv(U_d), g_cam)
+        d_pt = jnp.zeros((T, 3), d_cam.dtype)
+        d_s = _solve_scales_T(problem, sys, obs, d_cam,
+                              jnp.zeros((3, T), d_cam.dtype), lam, eps,
+                              buckets)
+        return d_cam, d_pt, d_s, jnp.asarray(0, jnp.int32)
+
+    # rhs: g_cam - W V^-1 g_pt; block-Jacobi preconditioner on the Schur
+    # diagonal — its camera reduction rides the same one-hot pass
+    zgT = gather_pt_T(_mv9(V9_inv, g_ptT), buckets)        # [3, O]
+    rhs_oT = jnp.sum(W * zgT[None, :, :], axis=1)          # [PC, O]
+    Vg = gather_pt_T(V9_inv, buckets).reshape(3, 3, O)
+    WViT = jnp.sum(W[:, :, None, :] * Vg[None, :, :, :], axis=1)    # [PC,3,O]
+    D_corrT = jnp.sum(WViT[:, None, :, :] * W[None, :, :, :], axis=2)
+    dc = _ar(cam_reduce_T(jnp.concatenate(
+        [D_corrT.reshape(PC * PC, O), rhs_oT], axis=0), cam_idx, C),
+        axis_name)
+    rhs = g_cam - dc[:, PC * PC:]
+    D = U_d - dc[:, :PC * PC].reshape(C, PC, PC)
+    D = D + eps * jnp.eye(PC, dtype=D.dtype)
+    D_inv = jnp.linalg.inv(D)
+
+    def precond(v):
+        return _mv(D_inv, v)
+
+    def schur_matvec(x):                                   # x: [C, PC]
+        y = _mv(U_d, x)
+        xgT = x.T[:, cam_idx]                              # [PC, O]
+        tT = jnp.sum(W * xgT[:, None, :], axis=0)          # [3, O]
+        sT = seg_by_pt_T(tT, buckets)                      # [3, T]
+        zT = gather_pt_T(_mv9(V9_inv, sT), buckets)        # [3, O]
+        uT = jnp.sum(W * zT[None, :, :], axis=1)           # [PC, O]
+        return y - _ar(cam_reduce_T(uT, cam_idx, C), axis_name)
+
+    d_cam, _, iters = pcg(schur_matvec, rhs, precond,
+                          max_iters=pcg_iters, tol=pcg_tol)
+
+    # back-substitute points: d_pt = V^-1 (g_pt - W^T d_cam)
+    dcT = d_cam.T[:, cam_idx]                              # [PC, O]
+    wtdT = seg_by_pt_T(jnp.sum(W * dcT[:, None, :], axis=0), buckets)
+    d_ptT = _mv9(V9_inv, g_ptT - wtdT)                     # [3, T]
+
+    d_s = _solve_scales_T(problem, sys, obs, d_cam, d_ptT, lam, eps, buckets)
+    return d_cam, d_ptT.T, d_s, iters
+
+
+def _solve_scales_T(problem, sys, obs, d_cam, d_ptT, lam, eps, buckets):
+    """Lane-major ``_solve_scales``: gathers stay [k, O]."""
+    if not problem.has_scales:
+        return jnp.zeros((obs.valid.shape[0], 1), d_cam.dtype)
+    from instantsfm_tpu.solve.blocked import gather_pt_T
+
+    PC = problem.cam_dim
+    O = obs.valid.shape[0]
+    Hss_d = sys.Hss * (1.0 + lam) + eps
+    inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)
+    dcT = d_cam.T[:, obs.cam_idx]
+    dpT = gather_pt_T(d_ptT, buckets)
+    num = sys.g_s - jnp.sum(sys.Jc_s.reshape(PC, O) * dcT, axis=0) \
+        - jnp.sum(sys.Jp_s.reshape(3, O) * dpT, axis=0)
+    return (inv_hss * num)[:, None]
+
+
 def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
                  lam, pcg_iters: int = 100, pcg_tol: float = 1e-5,
                  eps: float = 1e-8, dense_schur: Optional[bool] = None,
@@ -415,8 +718,16 @@ def solve_damped(problem: BlockProblem, sys: NormalSystem, obs: Observations,
     Returns (d_cam, d_pt, d_s, cg_iters)."""
     PC = problem.cam_dim
     C = sys.U.shape[0]
-    T = sys.V.shape[0]
     O = obs.valid.shape[0]
+    if _use_tlayout(O, buckets, PC) and not cam_buckets:
+        if dense_schur is True:
+            raise ValueError(
+                "dense_schur is incompatible with the lane-major layout "
+                f"(O={O} >= tlayout threshold); set ISFM_TLAYOUT=0")
+        # lane-major solve (matches build_system's tlayout storage)
+        return _solve_damped_T(problem, sys, obs, lam, pcg_iters, pcg_tol,
+                               eps, buckets, axis_name)
+    T = sys.V.shape[0]
     sys = sys._replace(W=sys.W.reshape(O, PC, 3),
                        Jc_s=sys.Jc_s.reshape(O, PC),
                        Jp_s=sys.Jp_s.reshape(O, 3))
@@ -655,7 +966,8 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
             cam_buckets=cam_buckets, cam_arrays=cam_arrays,
             pallas_tile=pallas_tile)
         cand = _apply_step(problem, params, d_cam, d_pt, d_s)
-        new_cost = compute_cost(problem, cand, obs, kernel, axis_name=axis_name)
+        new_cost = compute_cost(problem, cand, obs, kernel,
+                                axis_name=axis_name, buckets=buckets)
         return cand, new_cost
 
     # the solve appears exactly ONCE in the graph (inside the loop body);

@@ -210,3 +210,31 @@ def gather_pt(arr, buckets, O):
             chunk[:, None], (Tb, L) + arr.shape[1:])
             .reshape((Tb * L,) + arr.shape[1:]))
     return jnp.concatenate(outs, axis=0)
+
+
+# Lane-major variants: the observation axis stays MINOR so the materialized
+# boundary buffers are [K, O'] — compact on TPU.  A materialized [O, k<128]
+# f32 array is laid out T(8,128) with the trailing dim padded to 128 lanes
+# (42.7x HBM expansion at k=3: 5.9 GB per buffer at 12.3M obs — the config-4
+# OOM, and ~10x the CG chain's HBM traffic at GP-500 scale; measured A/B
+# 2026-08-21: 10 iters of the GP-shaped Schur chain 10.0 s -> 1.0 s,
+# bit-identical results).
+
+def seg_by_pt_T(vals_T, buckets):
+    """[K, O'] -> [K, T] reduction via per-bucket reshape-sums."""
+    outs = []
+    for (os_, ps, Tb, L) in buckets:
+        chunk = jax.lax.dynamic_slice_in_dim(vals_T, os_, Tb * L, axis=1)
+        outs.append(chunk.reshape(vals_T.shape[:1] + (Tb, L)).sum(axis=2))
+    return jnp.concatenate(outs, axis=1)
+
+
+def gather_pt_T(arr_T, buckets):
+    """[K, T] -> [K, O'] broadcast via per-bucket repeats."""
+    outs = []
+    for (os_, ps, Tb, L) in buckets:
+        chunk = jax.lax.dynamic_slice_in_dim(arr_T, ps, Tb, axis=1)
+        outs.append(jnp.broadcast_to(
+            chunk[:, :, None], arr_T.shape[:1] + (Tb, L))
+            .reshape(arr_T.shape[:1] + (Tb * L,)))
+    return jnp.concatenate(outs, axis=1)

@@ -69,3 +69,66 @@ def test_bucketize_roundtrip(rng):
     total = sum(Tb * L for (_, _, Tb, L) in bp.buckets)
     assert total == len(bp.valid)
     assert sum(Tb for (_, _, Tb, L) in bp.buckets) == bp.num_slots >= T
+
+
+def _gp_setup(seed=5):
+    """GP-shaped problem (PC=3, per-observation scale elimination)."""
+    from instantsfm_tpu.math import lie
+    from instantsfm_tpu.solve.problems import make_gp_problem
+
+    scene = make_scene(num_cams=10, num_pts=150)
+    rng = np.random.default_rng(seed)
+    C, T = len(scene.qvec), len(scene.points)
+    centers = np.asarray(lie.camera_center(jnp.asarray(scene.qvec),
+                                           jnp.asarray(scene.tvec)))
+    d = scene.points[scene.obs_pt] - centers[scene.obs_cam]
+    t_obs = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    O = len(t_obs)
+    problem = make_gp_problem()
+    params = Params(
+        cam={"c": jnp.asarray(centers + rng.standard_normal((C, 3)))},
+        pts=jnp.asarray(scene.points + rng.standard_normal((T, 3))),
+        scales=jnp.ones((O, 1)), scales_free=jnp.ones(O, bool))
+    obs = Observations(jnp.asarray(scene.obs_cam), jnp.asarray(scene.obs_pt),
+                       {"tx": jnp.asarray(t_obs[:, 0]),
+                        "ty": jnp.asarray(t_obs[:, 1]),
+                        "tz": jnp.asarray(t_obs[:, 2]), "w": jnp.ones(O)},
+                       jnp.ones(O, bool))
+    return problem, params, obs
+
+
+def test_lane_major_matches_default(monkeypatch):
+    """ISFM_TLAYOUT=1 (lane-major carriers) must reproduce the default
+    bucketized solver — BA shape (PC=8, no scales) and GP shape (PC=3,
+    scale elimination) — up to summation order."""
+    from instantsfm_tpu.solve.blocked import bucketize_problem
+    from instantsfm_tpu.solve.block_lm import LMState
+
+    scene = make_scene(num_cams=10, num_pts=120, vis_prob=0.7)
+    cases = [("ba", _ba_setup(scene)), ("gp", _gp_setup())]
+    for name, (problem, params, obs) in cases:
+        kernel = robust.huber(1.0)
+        cfg = LMConfig(max_iterations=3, pcg_iters=60, solver="pcg")
+        params_b, obs_b, buckets, point_slots = bucketize_problem(params, obs)
+
+        results = {}
+        for mode, env in (("default", "0"), ("lane_major", "1")):
+            monkeypatch.setenv("ISFM_TLAYOUT", env)
+            step = jax.jit(lambda s, o: lm_step(problem, kernel, cfg, s, o,
+                                                buckets=buckets))
+            s_b = LMState(params_b, jnp.asarray(1e-4), jnp.asarray(jnp.inf))
+            for _ in range(3):
+                s_b = step(s_b, obs_b)
+            results[mode] = s_b
+        np.testing.assert_allclose(float(results["lane_major"].cost),
+                                   float(results["default"].cost),
+                                   rtol=1e-4, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(results["lane_major"].params.pts),
+            np.asarray(results["default"].params.pts), atol=1e-4,
+            err_msg=name)
+        for k in results["default"].params.cam:
+            np.testing.assert_allclose(
+                np.asarray(results["lane_major"].params.cam[k]),
+                np.asarray(results["default"].params.cam[k]), atol=1e-4,
+                err_msg=f"{name}:{k}")
