@@ -202,6 +202,36 @@ def cam_reduce_T(vals_T, cam_idx, C: int):
                    precision=jax.lax.Precision.HIGHEST).T
 
 
+def cam_gather_T(x, cam_idx, C: int):
+    """Lane-major camera gather: [C, PC] params -> [PC, O] per-observation,
+    as a one-hot MXU dot (xT @ onehot[C, O]) instead of an index gather.
+
+    An index gather (``x.T[:, cam_idx]`` or ``x[cam_idx]``) materializes its
+    output in a lane-padded [O, PC<128] layout (42.7x HBM at PC=3 — config-4
+    OOM) and is latency-bound (~7 ns/row); the dot's output is a plain
+    row-major [PC, O] and the one-hot is fused into the operand stream.
+    bf16 rounding is safe here: the one-hot contraction copies rows
+    (HIGHEST precision keeps the copy exact)."""
+    O = cam_idx.shape[0]
+    PC = x.shape[1]
+    classes = jnp.arange(C, dtype=cam_idx.dtype)
+    chunk = 1 << 18
+    if O * C * PC <= 5e10 or O % chunk:
+        oh = (classes[:, None] == cam_idx[None, :]).astype(x.dtype)
+        return jnp.dot(x.T, oh, preferred_element_type=x.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def body(i, acc):
+        ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
+        oh = (classes[:, None] == ids[None, :]).astype(x.dtype)
+        blk = jnp.dot(x.T, oh, preferred_element_type=x.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dynamic_update_slice_in_dim(acc, blk, i * chunk, 1)
+
+    return jax.lax.fori_loop(0, O // chunk, body,
+                             jnp.zeros((PC, O), x.dtype))
+
+
 # lane-major layout threshold: above this many (bucketed) observations the
 # solver carries every [O, k]-shaped boundary array transposed ([k, O]).
 # Applies only to NARROW camera blocks (PC <= _TLAYOUT_MAX_PC, i.e. the
@@ -214,6 +244,13 @@ def cam_reduce_T(vals_T, cam_idx, C: int):
 # and lifts the PC gate).
 _TLAYOUT_MIN = 2_000_000
 _TLAYOUT_MAX_PC = 4
+# Wide blocks (PC == 8, BA) switch to lane-major anyway above this many
+# bucketed observations: the default path's padded build/precond operands
+# ([O, 80] lane-padded concats etc.) compile to 15.3 GB of HLO temps at
+# 12.7M obs (compile probe, tools/probe_lm_compile.py) — over the 16 GB
+# chip once pipeline arrays are resident — vs 9.2 GB lane-major.  Slower
+# (0.86 vs 1.25 it/s at 8M) but it fits.
+_TLAYOUT_WIDE_MIN = 10_000_000
 
 
 def _use_tlayout(O: int, buckets, PC: int) -> bool:
@@ -224,7 +261,10 @@ def _use_tlayout(O: int, buckets, PC: int) -> bool:
         if v.strip() in ("0", "off", "false"):
             return False
         return bool(buckets) and O >= int(v)
-    return bool(buckets) and O >= _TLAYOUT_MIN and PC <= _TLAYOUT_MAX_PC
+    if not buckets:
+        return False
+    return (O >= _TLAYOUT_MIN and PC <= _TLAYOUT_MAX_PC) \
+        or O >= _TLAYOUT_WIDE_MIN
 
 
 def _seg_by_cam(x, cam_idx, C, cam_buckets=(), cam_arrays=None):
@@ -668,7 +708,7 @@ def _solve_damped_T(problem, sys, obs, lam, pcg_iters, pcg_tol, eps,
 
     def schur_matvec(x):                                   # x: [C, PC]
         y = _mv(U_d, x)
-        xgT = x.T[:, cam_idx]                              # [PC, O]
+        xgT = cam_gather_T(x, cam_idx, C)                  # [PC, O]
         tT = jnp.sum(W * xgT[:, None, :], axis=0)          # [3, O]
         sT = seg_by_pt_T(tT, buckets)                      # [3, T]
         zT = gather_pt_T(_mv9(V9_inv, sT), buckets)        # [3, O]
@@ -679,7 +719,7 @@ def _solve_damped_T(problem, sys, obs, lam, pcg_iters, pcg_tol, eps,
                           max_iters=pcg_iters, tol=pcg_tol)
 
     # back-substitute points: d_pt = V^-1 (g_pt - W^T d_cam)
-    dcT = d_cam.T[:, cam_idx]                              # [PC, O]
+    dcT = cam_gather_T(d_cam, cam_idx, C)                  # [PC, O]
     wtdT = seg_by_pt_T(jnp.sum(W * dcT[:, None, :], axis=0), buckets)
     d_ptT = _mv9(V9_inv, g_ptT - wtdT)                     # [3, T]
 
@@ -697,7 +737,7 @@ def _solve_scales_T(problem, sys, obs, d_cam, d_ptT, lam, eps, buckets):
     O = obs.valid.shape[0]
     Hss_d = sys.Hss * (1.0 + lam) + eps
     inv_hss = jnp.where(sys.Hss > 0, 1.0 / Hss_d, 0.0)
-    dcT = d_cam.T[:, obs.cam_idx]
+    dcT = cam_gather_T(d_cam, obs.cam_idx, d_cam.shape[0])
     dpT = gather_pt_T(d_ptT, buckets)
     num = sys.g_s - jnp.sum(sys.Jc_s.reshape(PC, O) * dcT, axis=0) \
         - jnp.sum(sys.Jp_s.reshape(3, O) * dpT, axis=0)
