@@ -94,13 +94,14 @@ def generate_database(image_path: str, database_path: str,
 
     use_lg = feature_name.endswith("+lightglue")
     use_disk = feature_name in ("disk", "disk+lightglue")
+    use_dd = feature_name == "dedode"
     use_sp = feature_name in ("superpoint", "superpoint_tpu",
                               "superpoint+lightglue")
     if use_lg and not (use_sp or use_disk):
         raise RuntimeError(
             f"feature_name={feature_name!r}: learned front-ends are "
-            "'superpoint[+lightglue]' and 'disk[+lightglue]' "
-            "(DeDoDe is not ported)")
+            "'superpoint[+lightglue]', 'disk[+lightglue]' and 'dedode' "
+            "(descriptor-matched, like the reference)")
     lg_weights = None
     lg_kind = "disk" if use_disk else "superpoint"
     if use_lg:
@@ -125,6 +126,18 @@ def generate_database(image_path: str, database_path: str,
                 "that has it (no egress here)")
         dk_cfg = dk.DiskConfig(max_keypoints=max_keypoints)
         desc_dim = dk.DESC_DIM
+    elif use_dd:
+        from instantsfm_tpu.features import dedode as dd
+        dd_weights = dd.try_load_default()
+        if dd_weights is None:
+            raise RuntimeError(
+                f"feature_name={feature_name!r} needs pretrained weights at "
+                f"{dd.default_weights_path()} — convert the public DeDoDe "
+                "detector-L + descriptor-B checkpoints once with "
+                "features.dedode.convert_torch_checkpoint(det_pth, desc_pth) "
+                "on a machine that has them (no egress here)")
+        dd_cfg = dd.DeDoDeConfig(max_keypoints=max_keypoints)
+        desc_dim = dd_weights["desc_ref1_out_w"].shape[-1]
     elif use_sp:
         from instantsfm_tpu.features import superpoint as sp
         sp_weights = sp.try_load_default()
@@ -145,7 +158,7 @@ def generate_database(image_path: str, database_path: str,
     if not names:
         raise FileNotFoundError(f"no images under {image_path}")
     if match_ratio is None:
-        match_ratio = 0.95 if (use_sp or use_disk) else 0.85  # near-MNN
+        match_ratio = 0.95 if (use_sp or use_disk or use_dd) else 0.85
 
     t0 = time.time()
     cfg = sift.SiftConfig(max_keypoints=max_keypoints)
@@ -160,9 +173,12 @@ def generate_database(image_path: str, database_path: str,
     size_l = np.zeros((len(mine), 2), np.int64)
     for r, i in enumerate(mine):
         img, scale, (w, h) = _load_gray(os.path.join(image_path, names[i]),
-                                        max_image_size, rgb=use_disk)
+                                        max_image_size,
+                                        rgb=use_disk or use_dd)
         if use_disk:
             xy, s, d, v = dk.extract(img, dk_weights, dk_cfg)
+        elif use_dd:
+            xy, s, d, v = dd.extract(img, dd_weights, dd_cfg)
         elif use_sp:
             xy, s, d, v = sp.extract(img, sp_weights, sp_cfg)
         else:
