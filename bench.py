@@ -186,17 +186,15 @@ def main():
         "hbm_gb_per_iter": round(rl.hbm_bytes / 1e9, 3),
         "traffic_model": "analytic (array-pass lower bound; "
                          "utils/roofline.py:lm_step_cost)",
-        "whats_left": "the r3 fused Pallas Schur-matvec reaches its own HBM "
-                      "roofline (~0.125 ms/matvec) but nets slower end-to-"
-                      "end: it forces a standalone x[cam_idx] "
-                      "materialization (~1 ms, latency-bound row DMAs) that "
-                      "XLA's fused while-loop body gets for free, and every "
-                      "in-kernel gather alternative costs >=0.3 ms/iter "
-                      "(Mosaic dynamic_gather is single-vreg-table only). "
-                      "XLA's loop is at the structural per-iteration floor "
-                      "for this operator on v5e; remaining headroom is the "
-                      "per-step build/setup passes, not the CG loop "
-                      "(PERF_NOTES.md 2026-08-21)",
+        "whats_left": "at this (default, PC=8) shape XLA keeps the CG chain "
+                      "fused in-loop at its structural per-iteration floor "
+                      "(~0.7 ms: kernel-boundary lane padding + dispatch; "
+                      "the r3 Pallas matvec and the r4 lane-major layout "
+                      "both measured slower here — wins only at narrow "
+                      "blocks or >4M obs, where each is auto-enabled). "
+                      "Remaining default-shape headroom is per-step "
+                      "build/setup dispatch latency through the tunnel "
+                      "(PERF_NOTES.md r4 lane-major section)",
     })
     try:
         compiled = step.lower(fresh_state(), obs).compile()
