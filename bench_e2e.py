@@ -25,7 +25,7 @@ import numpy as np
 
 def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
                    match_noise=0.4, outlier_frac=0.08, vis_angle=0.9,
-                   scene_scale=1.0):
+                   scene_scale=1.0, max_matches_per_pair=0):
     """``scene_scale`` grows the camera ring radius and the point volume
     together so the adjacent-camera baseline stays constant as ``num_cams``
     grows (config-4 runs use scale num_cams/500 to keep two-view geometry
@@ -105,6 +105,12 @@ def build_scene_db(dbpath, num_cams=200, num_pts=20_000, window=12, seed=0,
                     continue
                 fi = fi_of_j[both]
                 fj = np.nonzero(both)[0].astype(np.int32)
+                if max_matches_per_pair and len(fi) > max_matches_per_pair:
+                    # real matchers cap matches/pair; wide-cone configs
+                    # would otherwise emit 100M+ match rows
+                    sel2 = rng.choice(len(fi), max_matches_per_pair,
+                                      replace=False)
+                    fi, fj = fi[sel2], fj[sel2]
                 # ring wrap: emit (j, i) ordered so every ring edge appears
                 # exactly once (j < i happens only on wrapped pairs)
                 a, b = (j, i) if j < i else (i, j)
@@ -218,17 +224,21 @@ def main():
     vis_angle = float(os.environ.get("BENCH_E2E_VIS_ANGLE", "0.9"))
     window = int(os.environ.get("BENCH_E2E_WINDOW", "12"))
     scene_scale = float(os.environ.get("BENCH_E2E_SCALE", "1"))
+    max_mpp = int(os.environ.get("BENCH_E2E_MAX_MATCHES", "0"))
     out_json = os.environ.get("BENCH_E2E_OUT")   # optional artifact path
     tag = f"{num_cams}_{num_pts}_{vis_angle}"
     if (window, scene_scale) != (12, 1.0):
         tag += f"_w{window}_s{scene_scale}"
+    if max_mpp:
+        tag += f"_m{max_mpp}"
     dbpath = f"/tmp/bench_e2e_{tag}.db"
     if not (os.path.exists(dbpath) and os.path.exists(dbpath + ".gt.npz")):
         t0 = time.time()
         n_pairs, n_matches = build_scene_db(dbpath, num_cams, num_pts,
                                             window=window,
                                             vis_angle=vis_angle,
-                                            scene_scale=scene_scale)
+                                            scene_scale=scene_scale,
+                                            max_matches_per_pair=max_mpp)
         print(f"[setup] db built in {time.time()-t0:.1f}s "
               f"({n_pairs} pairs, {n_matches} matches)", file=sys.stderr)
 
