@@ -42,6 +42,14 @@ import numpy as np
 
 _SCALES = (8, 4, 2, 1)
 
+# kornia KF.DeDoDe normalizes [0,1] RGB with ImageNet statistics before the
+# (ImageNet-pretrained) VGG19 encoder; real converted L/B checkpoints expect
+# the same.  Applied in ``_extract_jit`` — the raw ``detector_logits``/
+# ``descriptor_field`` entry points stay normalization-free so converter
+# cross-check tests compare the bare operator structure.
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
 
 class DeDoDeConfig(NamedTuple):
     max_keypoints: int = 4096    # reference n=4096 (feature_handler.py:63)
@@ -163,6 +171,7 @@ def _nms(heat, window: int):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _extract_jit(img, w, cfg: DeDoDeConfig):
+    img = (img - _IMAGENET_MEAN) / _IMAGENET_STD
     logits = detector_logits(img, w)
     H, W = logits.shape
     # the detector is trained as a distribution over positions: score via
@@ -309,6 +318,16 @@ def _convert_one(sd, prefix, out):
     if len(counts) != 4:
         raise ValueError(f"{prefix}: expected 4 encoder stages, inferred "
                          f"{counts} from widths {widths}")
+    # the width-change split cannot see a pool between equal-width stages
+    # (VGG19 conv4/conv5 are both 512-wide); for real VGG19-width
+    # checkpoints, cross-check against the known block depths rather than
+    # silently misassembling the encoder
+    if stage_w == [64, 128, 256, 512] and counts != [2, 2, 4, 4]:
+        raise ValueError(
+            f"{prefix}: VGG19-width encoder but stage depths {counts} != "
+            f"[2, 2, 4, 4] — checkpoint likely contains convs past block 4 "
+            f"(equal-width stages are indistinguishable by width); layer "
+            f"table: {[(k, tuple(v.shape)) for k, v, _, _ in enc]}")
 
     def put(name, v, b, bn, cin_actual=None):
         wt = v.numpy().transpose(2, 3, 1, 0)             # OIHW -> HWIO

@@ -158,7 +158,10 @@ def generate_database(image_path: str, database_path: str,
     if not names:
         raise FileNotFoundError(f"no images under {image_path}")
     if match_ratio is None:
-        match_ratio = 0.95 if (use_sp or use_disk or use_dd) else 0.85
+        # reference: DeDoDe matched with DescriptorMatcher('snn', th=0.92);
+        # superpoint/disk use the near-MNN 0.95 default, sift 0.85
+        match_ratio = (0.92 if use_dd else
+                       0.95 if (use_sp or use_disk) else 0.85)
 
     t0 = time.time()
     cfg = sift.SiftConfig(max_keypoints=max_keypoints)

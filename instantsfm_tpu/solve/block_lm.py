@@ -216,10 +216,18 @@ def cam_gather_T(x, cam_idx, C: int):
     PC = x.shape[1]
     classes = jnp.arange(C, dtype=cam_idx.dtype)
     chunk = 1 << 18
-    if O * C * PC <= 5e10 or O % chunk:
+    if O * C * PC <= 5e10:
         oh = (classes[:, None] == cam_idx[None, :]).astype(x.dtype)
         return jnp.dot(x.T, oh, preferred_element_type=x.dtype,
                        precision=jax.lax.Precision.HIGHEST)
+    # large problems: chunk the one-hot so the [C, O] operand never
+    # materializes.  Pad the tail with class C (one-hot all-zero there, same
+    # masking trick as cam_reduce_T) — bucketed spans are almost never exact
+    # 2**18 multiples, so bailing on misalignment would make this path dead.
+    pad = (-O) % chunk
+    if pad:
+        cam_idx = jnp.concatenate(
+            [cam_idx, jnp.full((pad,), C, cam_idx.dtype)])
 
     def body(i, acc):
         ids = jax.lax.dynamic_slice_in_dim(cam_idx, i * chunk, chunk)
@@ -228,8 +236,9 @@ def cam_gather_T(x, cam_idx, C: int):
                       precision=jax.lax.Precision.HIGHEST)
         return jax.lax.dynamic_update_slice_in_dim(acc, blk, i * chunk, 1)
 
-    return jax.lax.fori_loop(0, O // chunk, body,
-                             jnp.zeros((PC, O), x.dtype))
+    out = jax.lax.fori_loop(0, (O + pad) // chunk, body,
+                            jnp.zeros((PC, O + pad), x.dtype))
+    return out[:, :O] if pad else out
 
 
 # lane-major layout threshold: above this many (bucketed) observations the
