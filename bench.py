@@ -137,20 +137,50 @@ def main():
     # count the full reject-retry budget every step and say nothing about
     # real solves, which mostly accept on the first try).
     N_WARM, N = 3, 20
+    R = int(os.environ.get("BENCH_REPEATS", "5"))
     state = fresh_state()
     for _ in range(N_WARM):
         state = step(state, obs)
     float(state.cost)
 
-    state = fresh_state()
-    t0 = time.perf_counter()
-    for _ in range(N):
-        state = step(state, obs)
-    # time through a host readback: on tunneled backends block_until_ready
-    # can return before execution finishes; a d2h readback cannot.
-    float(state.cost)
-    dt = time.perf_counter() - t0
+    # repeat-best + spread (same protocol as bench_e2e.py, VERDICT r4 #3):
+    # each pass re-runs the same N active-convergence steps from the same
+    # perturbed start; best-of-R is the chip capability, the spread is the
+    # tunnel/environment variance.
+    times = []
+    for _ in range(R):
+        state = fresh_state()
+        t0 = time.perf_counter()
+        for _ in range(N):
+            state = step(state, obs)
+        # time through a host readback: on tunneled backends
+        # block_until_ready can return before execution finishes; a d2h
+        # readback cannot.
+        float(state.cost)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     iters_per_sec = N / dt
+
+    # dispatch-floor probe: a jitted null step with the same state signature
+    # (cost += 0 on tiny arrays) driven by the identical host loop measures
+    # the per-call dispatch + final-readback tax of THIS environment (the
+    # tunnel), independent of the chip.  Subtracting it from the measured
+    # step time separates the chip-intrinsic step from environment latency.
+    null = jax.jit(lambda s: LMState(s.params, s.lam + 0.0, s.cost + 0.0))
+    nstate = fresh_state()
+    for _ in range(N_WARM):
+        nstate = null(nstate)
+    float(nstate.cost)
+    null_times = []
+    for _ in range(R):
+        nstate = fresh_state()
+        t0 = time.perf_counter()
+        for _ in range(N):
+            nstate = null(nstate)
+        float(nstate.cost)
+        null_times.append(time.perf_counter() - t0)
+    null_dt = min(null_times)
+    net_dt = max(dt - null_dt, 1e-9)
 
     rec = {
         "metric": "ba_iters_per_sec",
@@ -159,6 +189,10 @@ def main():
                 f"{num_pts * obs_per_pt} obs, 25 CG/iter); "
                 "vs_baseline = roofline_frac",
         "vs_baseline": None,
+        "best_of": R,
+        "spread_iters_per_sec": [round(N / t, 2) for t in times],
+        "dispatch_floor_ms_per_step": round(1e3 * null_dt / N, 3),
+        "chip_net_iters_per_sec": round(N / net_dt, 2),
     }
     # primary roofline: the ANALYTIC traffic model (utils/roofline.py) — a
     # probe of XLA's cost model shows loop bodies are counted once regardless
@@ -175,9 +209,11 @@ def main():
     cost = lm_step_cost(O=O, C=num_cams, T=T, PC=problem.cam_dim,
                         res_dim=problem.res_dim, cg_iters=cfg.pcg_iters)
     rl = analyze_analytic(cost, dt / N)
+    rl_net = analyze_analytic(cost, net_dt / N)
     rec.update({
         "vs_baseline": round(rl.roofline_frac, 3),
         "roofline_frac": round(rl.roofline_frac, 3),
+        "roofline_frac_chip_net": round(rl_net.roofline_frac, 3),
         "mfu": round(rl.mfu, 4),
         "membw_util": round(rl.membw_util, 4),
         "bound": rl.bound,

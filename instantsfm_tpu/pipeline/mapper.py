@@ -29,12 +29,16 @@ class PipelineError(RuntimeError):
 def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
                         images: Images, config: Config,
                         depths_available: bool = False, visualizer=None,
-                        dtype=jnp.float64, log=print):
+                        dtype=jnp.float64, log=print, stage_hook=None):
     """Run the full global-SfM stage sequence.
 
     Set ``ISFM_PROFILE=<dir>`` to capture a ``jax.profiler`` trace of the
     whole run with one named ``TraceAnnotation`` span per stage (view it
-    with tensorboard / xprof; SURVEY.md §5 tracing plan)."""
+    with tensorboard / xprof; SURVEY.md §5 tracing plan).
+
+    ``stage_hook(name, cameras, images, tracks)``, if given, is called after
+    each completed stage — the accuracy-ablation probes use it to measure
+    per-stage pose error without touching pipeline state."""
     import os
 
     profile_dir = os.environ.get("ISFM_PROFILE")
@@ -46,15 +50,18 @@ def solve_global_mapper(view_graph: ViewGraph, cameras: Cameras,
         with jax.profiler.trace(profile_dir):
             return _solve_impl(view_graph, cameras, images, config,
                                depths_available, visualizer, dtype, log,
-                               annotate=jax.profiler.TraceAnnotation)
+                               annotate=jax.profiler.TraceAnnotation,
+                               stage_hook=stage_hook)
     return _solve_impl(view_graph, cameras, images, config,
-                       depths_available, visualizer, dtype, log)
+                       depths_available, visualizer, dtype, log,
+                       stage_hook=stage_hook)
 
 
 def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
                 images: Images, config: Config,
                 depths_available: bool = False, visualizer=None,
-                dtype=jnp.float64, log=print, annotate=None):
+                dtype=jnp.float64, log=print, annotate=None,
+                stage_hook=None):
     opts = config.OPTIONS
     tracks = Tracks.empty()
     timings = {}
@@ -75,6 +82,10 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
     def _viz(stage):
         if visualizer is not None:
             visualizer.add_step(cameras, images, tracks, stage)
+
+    def _hook(name):
+        if stage_hook is not None:
+            stage_hook(name, cameras, images, tracks)
 
     if not opts["skip_preprocessing"]:
         t0 = _stage("preprocessing")
@@ -102,6 +113,7 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
         if not view_graph.keep_largest_connected_component(images):
             raise PipelineError("no connected component after relpose filtering")
         timings["relative_pose_estimation"] = time.time() - t0
+        _hook("relpose")
 
     if not opts["skip_rotation_averaging"]:
         t0 = _stage("rotation averaging")
@@ -119,6 +131,7 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
         n_reg = int(images.registered.sum())
         log(f"{n_reg} / {images.num_images} images are within the connected component.")
         timings["rotation_averaging"] = time.time() - t0
+        _hook("rotation_averaging")
 
     tracks_orig = Tracks.empty()
     if not opts["skip_track_establishment"]:
@@ -144,6 +157,7 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
         track_filters.normalize_reconstruction(
             images, tracks, depths=depths_available or None)
         timings["global_positioning"] = time.time() - t0
+        _hook("global_positioning")
 
     if not opts["skip_bundle_adjustment"]:
         t0 = _stage("bundle adjustment")
@@ -181,6 +195,7 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
         track_filters.normalize_reconstruction(
             images, tracks, depths=depths_available or None)
         timings["bundle_adjustment"] = time.time() - t0
+        _hook("bundle_adjustment")
 
     if not opts["skip_retriangulation"]:
         t0 = _stage("retriangulation")

@@ -66,7 +66,12 @@ def undistort_images(cameras: Cameras, images: Images, dtype=jnp.float64) -> Non
         return
     kp_img = np.repeat(np.arange(images.num_images),
                        np.diff(images.kp_offset))
-    cpu = jax.devices("cpu")[0]
+    # process-LOCAL cpu device: jax.devices("cpu")[0] is the first GLOBAL
+    # device — in a multi-process run that is process 0's device, and
+    # device_put from any other process builds an array this process cannot
+    # read back (it killed the 2-process test minutes before the shutdown
+    # barrier while process 0 waited in relpose's allgather)
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         b = _bearings_jit(model_id,
                           jax.device_put(cameras.params.astype(np.float64),
