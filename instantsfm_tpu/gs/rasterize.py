@@ -155,14 +155,31 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
     #   rank-scatter + padded gather 17.0);
     #   "set" keeps the unique-slot variant for re-measurement on future
     #   toolchains (gradients verified bit-identical on CPU).
+    #   "band" (r5) sorts the GAUSSIANS by top covered tile row before the
+    #   lex sort, so each image tile row's contributors form a contiguous
+    #   band of the attribute table (width structurally bounded by the
+    #   side x side tile budget) and the backward routes gradients with one
+    #   one-hot MXU contraction per tile row instead of the 13 ms scatter
+    #   (ops/gather.py::banded_gather).
     import os as _os
     route = _os.environ.get("ISFM_GS_ROUTE", "add")
 
     starts = None
+    order = rowstart = None
     if route == "set":
         flat_slot = jnp.arange(G * ss, dtype=jnp.int32)
         sorted_tiles, _, sorted_slot = jax.lax.sort(
             (flat_tiles, depth_bits, flat_slot), num_keys=2)
+    elif route == "band":
+        key = jnp.where(proj.valid, ty0, nty - 1).astype(jnp.int32)
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        rank = jnp.zeros((G,), jnp.int32).at[order].set(
+            jnp.arange(G, dtype=jnp.int32))
+        rowstart = jnp.searchsorted(
+            key[order], jnp.arange(nty + 1, dtype=jnp.int32)).astype(jnp.int32)
+        flat_rank = jnp.broadcast_to(rank[:, None], (G, ss)).reshape(-1)
+        sorted_tiles, _, sorted_gauss = jax.lax.sort(
+            (flat_tiles, depth_bits, flat_rank), num_keys=2)
     else:
         flat_gauss = jnp.broadcast_to(
             jnp.arange(G, dtype=jnp.int32)[:, None], (G, ss)).reshape(-1)
@@ -194,6 +211,18 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
             si_pad, (s,), (tile_capacity,)))(starts[:-1])
         tile_slot = jnp.where(k_ok, to, G * ss)      # [n_tiles, K] unique
         attrs = ops.gather_by_slot(table, tile_slot, ss)
+    elif route == "band":
+        sg_pad = jnp.concatenate(
+            [sorted_gauss, jnp.full(tile_capacity, G, sorted_gauss.dtype)])
+        tg = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            sg_pad, (s,), (tile_capacity,)))(starts[:-1])
+        tile_gauss = jnp.where(k_ok, tg, G)          # [n_tiles, K] ranked ids
+        table_s = jnp.concatenate(
+            [ops.fast_gather(table[:G], order), table[G:]], axis=0)
+        band = min(G + 1,
+                   -(-(side + 1) * max(G // max(nty, 1), 1) * 2 // 512) * 512)
+        attrs = ops.banded_gather(table_s, tile_gauss, rowstart,
+                                  nty, side - 1, band)
     else:
         sg_pad = jnp.concatenate(
             [sorted_gauss, jnp.full(tile_capacity, G, sorted_gauss.dtype)])

@@ -1,2 +1,2 @@
-from instantsfm_tpu.ops.gather import (fast_gather, gather_by_slot,  # noqa: F401
-                                       isolate)
+from instantsfm_tpu.ops.gather import (banded_gather,  # noqa: F401
+                                       fast_gather, gather_by_slot, isolate)

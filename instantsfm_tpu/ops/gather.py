@@ -109,3 +109,94 @@ def _gbs_bwd(ss, res, g):
 
 
 gather_by_slot.defvjp(_gbs_fwd, _gbs_bwd)
+
+
+# ------------------------------------------------------- banded routing
+#
+# The 3DGS backward's gather transpose is a 973k-row scatter-add into the
+# [G+1, 16] attribute table — TPU has no fast arbitrary scatter and the op
+# is latency-bound at ~13 ms (r4 trace, PERF_NOTES).  But the rasterizer's
+# tile expansion is STRUCTURALLY band-limited: with a side x side tile
+# budget, a gaussian whose top covered tile row is ty0 can only appear in
+# image tile rows [ty0, ty0 + side - 1].  Sorting gaussians by ty0 therefore
+# makes every tile row's contributors a CONTIGUOUS band of the sorted table,
+# and the scatter-add becomes one one-hot MXU contraction per tile row
+# (exactly the cam_reduce trick from solve/block_lm.py) — no scatter at all.
+#
+# Precision: the band dot uses default (bf16-operand) MXU passes with an
+# explicit hi/lo mantissa split of the gradient values, so routed gradients
+# match the f32 scatter-add to ~1e-7 relative instead of bf16's ~4e-3.
+
+
+from functools import partial as _partial2
+
+
+@_partial2(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def banded_gather(table, idx, rowstart, nty: int, margin: int, band: int):
+    """``table[idx]`` whose backward routes gradients by tile-row bands.
+
+    table [G+1, F] sorted ascending by each gaussian's top covered tile row
+    (row G = sentinel); idx [n_tiles, K] positions into the sorted table
+    (tiles in image row-major order, so tile t sits in image row
+    t // (n_tiles / nty)); rowstart [nty+1] = first table row with key >= r.
+    ``nty``/``margin``/``band`` are static (margin = side - 1 of the tile
+    budget; band = static band capacity).  If any
+    row's true band exceeds ``band`` the backward falls back to the exact
+    scatter-add (lax.cond, correctness never depends on the cap)."""
+    del rowstart, nty, margin, band
+    return fast_gather(table, idx)
+
+
+def _bg_fwd(table, idx, rowstart, nty, margin, band):
+    row_proto = table[:0]
+    n_proto = table.reshape(table.shape[0], -1)[:, :0]
+    return fast_gather(table, idx), (idx, rowstart, row_proto, n_proto)
+
+
+def _bg_bwd(nty, margin, band, res, g):
+    idx, rowstart, row_proto, n_proto = res
+    G1 = n_proto.shape[0]
+    F = row_proto.shape[1:]
+    Ff = int(np.prod(F)) if F else 1
+    E = idx.size // nty
+    ids = idx.reshape(nty, E).astype(jnp.int32)
+    gg = g.reshape(nty, E, Ff).astype(row_proto.dtype)
+
+    r_arange = jnp.arange(nty)
+    starts = rowstart[jnp.maximum(r_arange - margin, 0)].astype(jnp.int32)
+    ends = rowstart[jnp.minimum(r_arange + 1, nty)].astype(jnp.int32)
+    ok = jnp.max(ends - starts) <= band
+
+    def band_path(gg):
+        iota = jnp.arange(band, dtype=jnp.int32)
+
+        def body(r, acc):
+            s = starts[r]
+            loc = ids[r] - s
+            oh = (iota[:, None] == loc[None, :]).astype(gg.dtype)  # [band, E]
+            v = gg[r]                                              # [E, Ff]
+            hi = v.astype(jnp.bfloat16).astype(v.dtype)
+            lo = v - hi
+            d = (jnp.dot(oh, hi, preferred_element_type=v.dtype)
+                 + jnp.dot(oh, lo, preferred_element_type=v.dtype))
+            cur = jax.lax.dynamic_slice(acc, (s, 0), (band, Ff))
+            return jax.lax.dynamic_update_slice(acc, cur + d, (s, 0))
+
+        # tail padding keeps the dynamic windows in bounds near row G (XLA
+        # clamps out-of-range starts, which would silently shift the window)
+        acc = jnp.zeros((G1 + band, Ff), gg.dtype)
+        acc = jax.lax.fori_loop(0, nty, body, acc)
+        return acc[:G1]
+
+    def scatter_path(gg):
+        return isolate(
+            lambda v, i: jnp.zeros((G1, Ff), v.dtype).at[i].add(v),
+            gg.reshape(-1, Ff), ids.reshape(-1))
+
+    gt = jax.lax.cond(ok, band_path, scatter_path, gg).reshape((G1,) + F)
+    z = np.zeros
+    return (gt, z(idx.shape, jax.dtypes.float0),
+            z(rowstart.shape, jax.dtypes.float0))
+
+
+banded_gather.defvjp(_bg_fwd, _bg_bwd)

@@ -1082,6 +1082,13 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     history = []
     w = cfg.window_size
 
+    import os as _os
+    # ablation knob (accuracy probes): "1" = reference-style termination
+    # only (no immediate equal-loss exit); "2" = run the full
+    # max_iterations budget (no window test either) — measures whether the
+    # f32 cost-plateau exits cause the accuracy-vs-scale cliff
+    full = int(_os.environ.get("ISFM_LM_FULL", "0") or 0)
+
     def _converged():
         # Equal consecutive losses terminate IMMEDIATELY: under this
         # engine's reject semantics (lam kept on reject) a rejected
@@ -1092,9 +1099,9 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
         # its TrustRegion keeps moving damping between iterations; here
         # waiting would only recompute the identical candidate (r3 burned
         # up to 2*window extra solves per BA round on exactly this).
-        if len(history) >= 2 and history[-1] == history[-2]:
+        if not full and len(history) >= 2 and history[-1] == history[-2]:
             return True
-        if len(history) < 2 * w:
+        if full >= 2 or len(history) < 2 * w:
             return False
         recent = np.mean(history[-w:])
         prev = np.mean(history[-2 * w:-w])

@@ -233,3 +233,66 @@ def test_rasterize_fisheye_smoke():
         tile_capacity=128, camera_model="fisheye")
     rgb = np.asarray(out.rgb)
     assert np.isfinite(rgb).all() and rgb.max() > 0.05
+
+
+def test_band_route_matches_add(rng, monkeypatch):
+    """The banded backward routing (ISFM_GS_ROUTE=band) must reproduce the
+    scatter-add route's forward AND gradients (band path: hi/lo-split one-hot
+    contraction, ~1e-6 rel; forward must be bitwise-equal up to compositing
+    order within equal (tile, depth) keys)."""
+    import importlib
+
+    from instantsfm_tpu.gs import rasterize as rz
+
+    W, H = 128, 96
+    means, quats, scales, opac, sh0, viewmat, K = _random_scene(rng, G=40)
+    target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+
+    def run(route):
+        monkeypatch.setenv("ISFM_GS_ROUTE", route)
+
+        def loss_fn(means, sh0, offset):
+            out = rz.rasterize(means, quats, scales, opac, sh0, viewmat, K,
+                               width=W, height=H, sh_degree=0,
+                               tiles_per_gauss=36, tile_capacity=64,
+                               means2d_offset=offset)
+            return jnp.mean((out.rgb - target) ** 2), out.rgb
+        offset = jnp.zeros((40, 2))
+        (loss, rgb), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(means, sh0, offset)
+        return np.asarray(rgb), [np.asarray(g) for g in grads]
+
+    rgb_a, g_a = run("add")
+    rgb_b, g_b = run("band")
+    np.testing.assert_allclose(rgb_b, rgb_a, atol=1e-5)
+    for ga, gb in zip(g_a, g_b):
+        np.testing.assert_allclose(gb, ga, rtol=2e-5, atol=1e-7)
+
+
+def test_band_route_overflow_fallback(rng, monkeypatch):
+    """All gaussians in one tile row overflows any sane band cap; the
+    lax.cond fallback must keep gradients exact."""
+    from instantsfm_tpu.gs import rasterize as rz
+    from instantsfm_tpu import ops as ops_mod
+
+    W, H = 64, 64
+    means, quats, scales, opac, sh0, viewmat, K = _random_scene(rng, G=24)
+
+    def loss_fn(means):
+        out = rz.rasterize(means, quats, scales, opac, sh0, viewmat, K,
+                           width=W, height=H, sh_degree=0,
+                           tiles_per_gauss=36, tile_capacity=64)
+        return jnp.mean(out.rgb)
+
+    monkeypatch.setenv("ISFM_GS_ROUTE", "add")
+    g_ref = np.asarray(jax.grad(loss_fn)(means))
+    monkeypatch.setenv("ISFM_GS_ROUTE", "band")
+    orig = ops_mod.banded_gather
+
+    def tiny_band(table, idx, rowstart, nty, margin, band):
+        return orig(table, idx, rowstart, nty, margin, 8)  # force overflow
+
+    monkeypatch.setattr(ops_mod, "banded_gather", tiny_band)
+    monkeypatch.setattr("instantsfm_tpu.ops.banded_gather", tiny_band)
+    g_band = np.asarray(jax.grad(loss_fn)(means))
+    np.testing.assert_allclose(g_band, g_ref, rtol=1e-6, atol=1e-8)
