@@ -41,6 +41,7 @@ def _views(rng, B=8, W=64, H=64):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_distributed_render_matches_single_device(rng):
     W = H = 64
     sh_degree = 1
@@ -93,6 +94,7 @@ def test_distributed_render_matches_single_device(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_distributed_train_step_improves_loss(rng):
     W = H = 64
     splats = _toy_pool(rng, G=128)

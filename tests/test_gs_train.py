@@ -192,6 +192,7 @@ def test_png_compression_roundtrip(tmp_path, rng):
         max(np.ptp(op), 1e-9) / 255 * 0.51 + 1e-6
 
 
+@pytest.mark.slow
 def test_trainer_tail_features(tmp_path, rng):
     """visible_adam + png compression + scalar stream through a short run."""
     import json as json_mod
@@ -220,6 +221,7 @@ def test_trainer_tail_features(tmp_path, rng):
     assert back["means"].shape[1] == 3 and len(back["means"]) > 0
 
 
+@pytest.mark.slow
 def test_trainer_config_surface(tmp_path, rng):
     """Round-2 config tail: patch_size cropping, random init, steps_scaler,
     app/pose weight decay, bilateral shape, tb_save_image — short run."""
