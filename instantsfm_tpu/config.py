@@ -78,6 +78,12 @@ COLMAP_CONFIG = {
         "thres_loss_function": 1.0,
         "max_num_iterations": 200,
         "function_tolerance": 5e-4,
+        # r5 deviation from the reference: BA terminates on parameter
+        # stagnation (relative step < step_tolerance for a window) instead
+        # of the scale-blind ftol cost window, which stops mid-descent at
+        # >=500 images (PERF_NOTES r5 / PARITY.md).  None restores the
+        # reference semantics.
+        "step_tolerance": 1e-6,
     },
     "TRIANGULATOR_OPTIONS": {
         "min_num_view_per_track": 2,

@@ -213,7 +213,7 @@ def _specs(template_state: LMState, template_obs: Observations, axis: str):
     state_spec = LMState(
         params=Params(cam=tree(lambda _: P(), template_state.params.cam),
                       pts=P(axis), scales=P(axis), scales_free=P(axis)),
-        lam=P(), cost=P())
+        lam=P(), cost=P(), dcost=P(), rstep=P())
     obs_spec = Observations(cam_idx=P(axis), pt_idx=P(axis),
                             data=tree(lambda _: P(axis), template_obs.data),
                             valid=P(axis))

@@ -80,6 +80,7 @@ def bundle_adjustment(cameras: Cameras, images: Images, tracks: Tracks,
         valid=jnp.ones(O, bool))
     cfg = LMConfig(max_iterations=int(opts["max_num_iterations"]),
                    function_tolerance=float(opts["function_tolerance"]),
+                   step_tol=opts.get("step_tolerance"),
                    radius_init=1e4, radius_max=1e10)
     kernel = robust.huber(float(opts["thres_loss_function"]))
 
@@ -219,6 +220,7 @@ def bundle_adjustment_rounds(cameras: Cameras, images: Images, tracks: Tracks,
         valid=jnp.ones(O, bool))
     cfg = LMConfig(max_iterations=int(opts["max_num_iterations"]),
                    function_tolerance=float(opts["function_tolerance"]),
+                   step_tol=opts.get("step_tolerance"),
                    radius_init=1e4, radius_max=1e10)
     kernel = robust.huber(float(opts["thres_loss_function"]))
 

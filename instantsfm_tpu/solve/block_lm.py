@@ -40,6 +40,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from instantsfm_tpu.solve import robust as robust_mod
 from instantsfm_tpu.solve.pcg import pcg
@@ -356,10 +357,13 @@ def _chunked_vmap(fn, args, chunk: int = _EVAL_CHUNK, lane_major=None):
     return tuple(fix(o, lm) for o, lm in zip(outs, lane_major))
 
 
-def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
-                 kernel: robust_mod.RobustKernel,
-                 axis_name: str = None, buckets: tuple = ()) -> jnp.ndarray:
-    """Robust cost sum_o rho(||r_o||^2) over valid observations."""
+def compute_loss_vec(problem: BlockProblem, params: Params,
+                     obs: Observations, kernel: robust_mod.RobustKernel,
+                     buckets: tuple = ()) -> jnp.ndarray:
+    """Per-observation robust loss rho(||r_o||^2), zeroed on invalid rows —
+    the building block of ``compute_cost`` and of the DIFFERENTIAL cost
+    acceptance in ``lm_step`` (sum of per-row differences resolves relative
+    improvements far below f32's ~6e-8 total-cost resolution)."""
     PC = problem.cam_dim
 
     if _use_tlayout(obs.valid.shape[0], buckets, PC):
@@ -380,8 +384,7 @@ def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
 
         s = _chunked_vmap(s_of, (obs.cam_idx, obs.pt_idx, params.scales,
                                  obs.data))
-        return _ar(jnp.sum(jnp.where(obs.valid, kernel.loss(s), 0.0)),
-                   axis_name)
+        return jnp.where(obs.valid, kernel.loss(s), 0.0)
 
     # plain indexing: upfront gathers measured faster at small scale
     # (19.9 vs 17.0 it/s on the default bench, 2026-08-21 A/B)
@@ -398,7 +401,15 @@ def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
 
     r = jax.vmap(res)(cam_g, pt_g, params.scales, obs.data)
     s = jnp.sum(r * r, axis=-1)
-    return _ar(jnp.sum(jnp.where(obs.valid, kernel.loss(s), 0.0)), axis_name)
+    return jnp.where(obs.valid, kernel.loss(s), 0.0)
+
+
+def compute_cost(problem: BlockProblem, params: Params, obs: Observations,
+                 kernel: robust_mod.RobustKernel,
+                 axis_name: str = None, buckets: tuple = ()) -> jnp.ndarray:
+    """Robust cost sum_o rho(||r_o||^2) over valid observations."""
+    return _ar(jnp.sum(compute_loss_vec(problem, params, obs, kernel,
+                                        buckets=buckets)), axis_name)
 
 
 def build_system(problem: BlockProblem, params: Params, obs: Observations,
@@ -975,12 +986,31 @@ class LMConfig:
     pcg_iters: int = 100
     pcg_tol: float = 1e-5
     solver: str = "auto"          # "auto" | "dense" | "pcg"
+    # opt-in parameter-stagnation termination (r5): when set, the host loop
+    # replaces the reference's cost-window ftol test with "stop once the
+    # accepted relative parameter step stays below step_tol for window_size
+    # consecutive iterations".  The ftol window is scale-blind: at >=500
+    # images the excess cost of a 1-degree pose error is already below
+    # ftol=5e-4 relative (reprojection noise dominates the total), so the
+    # reference semantics stop BA mid-descent — the probe shows error still
+    # falling 0.39 -> 0.149 deg for 20 iterations after the window fires
+    # (tools/probe_ba_convergence.py).  Steps, unlike cost differences, are
+    # fully resolvable in f32.
+    step_tol: float = None
 
 
 class LMState(NamedTuple):
     params: Params
     lam: jnp.ndarray
     cost: jnp.ndarray
+    # accepted cost DECREASE of the last step (0.0 on reject), computed as a
+    # sum of per-observation loss differences — accurate to ~1e-12 relative
+    # where the f32 absolute cost saturates at ~6e-8 (the r4 equal-loss
+    # freeze; PERF_NOTES r5).  The host loop integrates it in f64.
+    dcost: jnp.ndarray = np.zeros((), np.float32)
+    # relative parameter step ||x_new - x_old|| / ||x_old|| of the last
+    # ACCEPTED step (0.0 on reject) — drives LMConfig.step_tol termination
+    rstep: jnp.ndarray = np.zeros((), np.float32)
 
 
 def _apply_step(problem, params: Params, d_cam, d_pt, d_s) -> Params:
@@ -1008,6 +1038,17 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
 
     dense = None if cfg.solver == "auto" else (cfg.solver == "dense")
 
+    # DIFFERENTIAL acceptance (r5): candidates are judged on the SUM OF
+    # PER-OBSERVATION LOSS DIFFERENCES against the current params, not on
+    # f32 absolute costs.  Near convergence the absolute f32 cost saturates
+    # (relative improvements ~1e-8 vanish below eps_f32) and the old
+    # comparison froze the solver 20-30x above its reachable accuracy
+    # (tools/probe_ba_convergence.py: 500-image BA frozen bit-identical at
+    # 0.149 deg from iteration 30 on); the row-difference sum resolves
+    # ~1e-12-relative improvements because the differences themselves are
+    # small before they are summed.
+    loss_old = compute_loss_vec(problem, params, obs, kernel, buckets=buckets)
+
     def try_lam(lam):
         d_cam, d_pt, d_s, _ = solve_damped(
             problem, sys, obs, lam, cfg.pcg_iters, cfg.pcg_tol,
@@ -1015,50 +1056,59 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
             cam_buckets=cam_buckets, cam_arrays=cam_arrays,
             pallas_tile=pallas_tile)
         cand = _apply_step(problem, params, d_cam, d_pt, d_s)
-        new_cost = compute_cost(problem, cand, obs, kernel,
-                                axis_name=axis_name, buckets=buckets)
-        return cand, new_cost
+        loss_new = compute_loss_vec(problem, cand, obs, kernel,
+                                    buckets=buckets)
+        dc = _ar(jnp.sum(loss_new - loss_old), axis_name)
+        return cand, dc
 
     # the solve appears exactly ONCE in the graph (inside the loop body);
     # duplicating it outside the while_loop measurably doubles step latency
     def cond(carry):
-        k, lam, cand, new_cost = carry
-        # keep retrying only while the step makes the cost MATERIALLY worse:
-        # at the convergence plateau every candidate raises the cost by
-        # float-noise amounts, and retrying the full reject budget there
-        # costs max_rejects solves per LM iteration for nothing (measured
-        # ~0.5 s/iter at the e2e config).  A sub-tolerance increase is a
-        # numerical plateau — stop, keep the old params (the accept test
-        # below is unchanged), and let the window test terminate.
+        k, lam, cand, dc = carry
+        # keep retrying only while the step makes the cost MATERIALLY worse
+        # (more than plateau_tol relative): retrying the full reject budget
+        # on float-noise increases costs max_rejects solves per LM
+        # iteration for nothing (measured ~0.5 s/iter at the e2e config).
         plateau_tol = 0.1 * cfg.function_tolerance
-        bad = ~jnp.isfinite(new_cost) \
-            | (new_cost > sys.cost * (1.0 + plateau_tol))
+        bad = ~jnp.isfinite(dc) | (dc > plateau_tol * sys.cost)
         return (k == 0) | (bad & (k <= cfg.max_rejects))
 
     def body(carry):
         k, lam, _, _ = carry
         lam = jnp.where(k == 0, lam, lam / cfg.radius_down)
-        cand, new_cost = try_lam(lam)
-        return k + 1, lam, cand, new_cost
+        cand, dc = try_lam(lam)
+        return k + 1, lam, cand, dc
 
     zero_cand = jax.tree_util.tree_map(jnp.zeros_like, params)
-    k, lam, cand, new_cost = jax.lax.while_loop(
+    k, lam, cand, dc = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), state.lam, zero_cand,
                      jnp.asarray(jnp.inf, sys.cost.dtype)))
 
-    accepted = jnp.isfinite(new_cost) & (new_cost <= sys.cost)
-    # On reject, keep lam at the last tried value (the loop already raised it
-    # per retry).  A rejected iteration is then a deterministic fixed point
-    # (same params, same lam) — the host loop detects the repeated loss and
-    # stops immediately (see optimize), which replaces the r3 behavior of
-    # recomputing the identical candidate until the window test fired.
+    accepted = jnp.isfinite(dc) & (dc <= 0)
+    # On reject, RAISE the damping for the next iteration (the reference
+    # TrustRegion's radius/16 on failure): a candidate that is genuinely
+    # worse by a sub-plateau_tol amount exits the retry loop without having
+    # raised lam, and keeping lam would freeze the solver in a reject fixed
+    # point exactly where the differential test starts resolving real
+    # improvements.
     lam_next = jnp.where(accepted,
                          jnp.maximum(lam / cfg.radius_up, 1.0 / cfg.radius_max),
-                         lam)
+                         lam / cfg.radius_down)
     params_next = jax.tree_util.tree_map(
         lambda c, p: jnp.where(accepted, c, p), cand, params)
-    cost_next = jnp.where(accepted, new_cost, sys.cost)
-    return LMState(params_next, lam_next, cost_next)
+    cost_next = jnp.where(accepted, sys.cost + dc, sys.cost)
+    dcost = jnp.where(accepted, dc, jnp.zeros_like(dc))
+    leaves_c = jax.tree_util.tree_leaves(cand)
+    leaves_p = jax.tree_util.tree_leaves(params)
+    sq = sum(jnp.sum(jnp.square(c - p)) for c, p in zip(leaves_c, leaves_p)
+             if jnp.issubdtype(c.dtype, jnp.floating))
+    pq = sum(jnp.sum(jnp.square(p)) for p in leaves_p
+             if jnp.issubdtype(p.dtype, jnp.floating))
+    rstep = jnp.sqrt(_ar(sq, axis_name) / jnp.maximum(_ar(pq, axis_name),
+                                                      1e-30))
+    rstep = jnp.where(accepted, rstep.astype(cost_next.dtype),
+                      jnp.zeros_like(cost_next))
+    return LMState(params_next, lam_next, cost_next, dcost, rstep)
 
 
 def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
@@ -1080,6 +1130,7 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     state = LMState(params, jnp.asarray(1.0 / cfg.radius_init,
                                         params.pts.dtype), jnp.asarray(jnp.inf))
     history = []
+    rsteps = []
     w = cfg.window_size
 
     import os as _os
@@ -1090,18 +1141,22 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     full = int(_os.environ.get("ISFM_LM_FULL", "0") or 0)
 
     def _converged():
-        # Equal consecutive losses terminate IMMEDIATELY: under this
-        # engine's reject semantics (lam kept on reject) a rejected
-        # iteration leaves (params, lam) unchanged — a deterministic fixed
-        # point — and an accepted step with bitwise-equal cost has zero
-        # improvement; both are terminal.  The reference gates this test
-        # behind 2*window iterations (bundle_adjustment.py:134-141) because
-        # its TrustRegion keeps moving damping between iterations; here
-        # waiting would only recompute the identical candidate (r3 burned
-        # up to 2*window extra solves per BA round on exactly this).
+        # Equal consecutive f64 cumulative losses terminate IMMEDIATELY:
+        # with differential acceptance (see lm_step) equality means two
+        # consecutive iterations produced EXACTLY zero accepted improvement
+        # — i.e. two rejects in a row at 16x-escalating damping, or true
+        # machine-level convergence; both are terminal.  (The reference
+        # gates this behind 2*window iterations, bundle_adjustment.py:
+        # 134-141, but its f64 losses only ever tie at convergence.)
         if not full and len(history) >= 2 and history[-1] == history[-2]:
             return True
-        if full >= 2 or len(history) < 2 * w:
+        if full >= 2:
+            return False
+        if cfg.step_tol is not None:
+            # parameter-stagnation termination (see LMConfig.step_tol)
+            return (len(rsteps) >= w
+                    and all(r < cfg.step_tol for r in rsteps[-w:]))
+        if len(history) < 2 * w:
             return False
         recent = np.mean(history[-w:])
         prev = np.mean(history[-2 * w:-w])
@@ -1113,8 +1168,24 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     # iteration at worst — it only improves the state).
     from instantsfm_tpu.utils import debug as _dbg
     import time as _time
-    pending = None          # (it, cost device scalar)
+    pending = None          # (it, cost, lam, dcost device scalars)
     _t_loop = _time.time()
+
+    def _append(p):
+        # f64 cumulative loss: absolute f32 cost for the first entry, then
+        # the differential improvements integrated in f64 — the history the
+        # window test sees resolves improvements the f32 total cannot.
+        if history:
+            # cost is nonnegative by definition; the integrated differential
+            # can drift a hair below zero once the true cost reaches ~0
+            history.append(max(history[-1] + float(p[3]), 0.0))
+        else:
+            history.append(float(p[1]))
+        rsteps.append(float(p[4]))
+        if verbose:
+            print(f"  lm iter {p[0]:3d}  loss {history[-1]:.9e}"
+                  f"  lam {float(p[2]):.3e}")
+
     for it in range(cfg.max_iterations):
         state = step(state, obs)
         if _dbg.ENABLED and it == 0:
@@ -1123,20 +1194,12 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
         if callback is not None:
             callback(it, state)
         if pending is not None:
-            loss = float(pending[1])
-            history.append(loss)
-            if verbose:
-                print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}"
-                      f"  lam {float(pending[2]):.3e}")
+            _append(pending)
             if _converged():
                 break
-        pending = (it, state.cost, state.lam)
+        pending = (it, state.cost, state.lam, state.dcost, state.rstep)
     if pending is not None and (not history or pending[0] > len(history) - 1):
-        loss = float(pending[1])
-        history.append(loss)
-        if verbose:
-            print(f"  lm iter {pending[0]:3d}  loss {loss:.6e}"
-                  f"  lam {float(pending[2]):.3e}")
+        _append(pending)
     if _dbg.ENABLED:
         n = max(len(history), 1)
         print(f"    [t] lm loop: {_time.time() - _t_loop:.2f}s"

@@ -205,6 +205,10 @@ def test_optimize_auto_ba_parity(monkeypatch):
     kernel = robust.huber(1.0)
     cfg = LMConfig(max_iterations=8, pcg_iters=50, solver="pcg")
 
+    # pin the iteration count: the differential-cost exits (r5) resolve
+    # reduction-order noise between layouts, so the two runs may otherwise
+    # terminate an iteration apart — this test is about STEP parity
+    monkeypatch.setenv("ISFM_LM_FULL", "2")
     monkeypatch.setenv("ISFM_NO_SHARD", "1")
     cam1, pts1, h1 = optimize_auto(problem, kernel, cfg, params, obs)
     monkeypatch.delenv("ISFM_NO_SHARD")
