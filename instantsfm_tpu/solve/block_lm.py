@@ -102,6 +102,9 @@ class NormalSystem(NamedTuple):
     Jp_s: jnp.ndarray     # [O*3]  flat of [O, 3]   (J_p^T J_s)
     g_s: jnp.ndarray      # [O] -J_s^T r
     cost: jnp.ndarray     # robust total cost (scalar)
+    loss_vec: jnp.ndarray  # [O] per-observation robust loss (valid-masked) —
+    # reused by lm_step's differential acceptance so the current-params loss
+    # costs no extra residual pass
 
 
 def _num_cams(params: Params) -> int:
@@ -467,7 +470,8 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
         # rT: [R,O], JcT: [R,PC,O], JpT: [R,3,O], JsT: [R,O]
         s = jnp.sum(rT * rT, axis=0)
         w = jnp.where(valid, kernel.weight(s), 0.0)        # [O]
-        cost = jnp.sum(jnp.where(valid, kernel.loss(s), 0.0))
+        loss_vec = jnp.where(valid, kernel.loss(s), 0.0)
+        cost = jnp.sum(loss_vec)
         swv = jnp.sqrt(w)                                  # [O]
 
         rT = rT * swv
@@ -501,7 +505,7 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
         return NormalSystem(U=U, V=V, W=W.reshape(-1), g_cam=g_cam,
                             g_pt=g_pt, Hss=Hss, Jc_s=Jc_s.reshape(-1),
                             Jp_s=Jp_s.reshape(-1), g_s=g_s,
-                            cost=_ar(cost, axis_name))
+                            cost=_ar(cost, axis_name), loss_vec=loss_vec)
 
     # small-problem path: upfront gathers measured faster on the default
     # bench (19.9 vs 17.0 it/s, 2026-08-21 A/B) and memory is a non-issue
@@ -523,7 +527,8 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
 
     s = jnp.sum(r * r, axis=-1)
     w = jnp.where(valid, kernel.weight(s), 0.0)            # [O]
-    cost = jnp.sum(jnp.where(valid, kernel.loss(s), 0.0))
+    loss_vec = jnp.where(valid, kernel.loss(s), 0.0)
+    cost = jnp.sum(loss_vec)
     sw = jnp.sqrt(w)[:, None]
 
     r = r * sw
@@ -570,7 +575,8 @@ def build_system(problem: BlockProblem, params: Params, obs: Observations,
 
     return NormalSystem(U=U, V=V, W=W.reshape(-1), g_cam=g_cam, g_pt=g_pt,
                         Hss=Hss, Jc_s=Jc_s.reshape(-1), Jp_s=Jp_s.reshape(-1),
-                        g_s=g_s, cost=_ar(cost, axis_name))
+                        g_s=g_s, cost=_ar(cost, axis_name),
+                        loss_vec=loss_vec)
 
 
 def _mv(M, v):
@@ -1047,7 +1053,7 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
     # 0.149 deg from iteration 30 on); the row-difference sum resolves
     # ~1e-12-relative improvements because the differences themselves are
     # small before they are summed.
-    loss_old = compute_loss_vec(problem, params, obs, kernel, buckets=buckets)
+    loss_old = sys.loss_vec
 
     def try_lam(lam):
         d_cam, d_pt, d_s, _ = solve_damped(
