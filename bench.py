@@ -229,8 +229,11 @@ def main():
                       "both measured slower here — wins only at narrow "
                       "blocks or >4M obs, where each is auto-enabled). "
                       "Remaining default-shape headroom is per-step "
-                      "build/setup dispatch latency through the tunnel "
-                      "(PERF_NOTES.md r4 lane-major section)",
+                      "build/setup dispatch latency through the tunnel — "
+                      "now MEASURED by the null-step probe "
+                      "(dispatch_floor_ms_per_step; r5: ~1.4 ms of the "
+                      "~39 ms step), so roofline_frac_chip_net is the "
+                      "chip-intrinsic fraction (PERF_NOTES.md r4/r5)",
     })
     try:
         compiled = step.lower(fresh_state(), obs).compile()
