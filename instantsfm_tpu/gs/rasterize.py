@@ -171,7 +171,11 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
         sorted_tiles, _, sorted_slot = jax.lax.sort(
             (flat_tiles, depth_bits, flat_slot), num_keys=2)
     elif route == "band":
-        key = jnp.where(proj.valid, ty0, nty - 1).astype(jnp.int32)
+        # invalid (culled) gaussians contribute no tile entries; key them to
+        # nty so they sort past rowstart[nty] and no row's band covers them
+        # (keying them to a REAL row piles them into its band and overflows
+        # the cap -> permanent scatter fallback)
+        key = jnp.where(proj.valid, ty0, nty).astype(jnp.int32)
         order = jnp.argsort(key, stable=True).astype(jnp.int32)
         rank = jnp.zeros((G,), jnp.int32).at[order].set(
             jnp.arange(G, dtype=jnp.int32))
@@ -219,8 +223,13 @@ def rasterize_projected(p: Projected2D, width: int, height: int,
         tile_gauss = jnp.where(k_ok, tg, G)          # [n_tiles, K] ranked ids
         table_s = jnp.concatenate(
             [ops.fast_gather(table[:G], order), table[G:]], axis=0)
+        # contributors to tile row r have key in {r-(side-1) .. r}: side
+        # key-rows.  FLOPs of the backward contraction scale linearly with
+        # this cap, so keep it tight (uniform-scene average x1.25); skewed
+        # frames overflow into the exact scatter-add fallback, which is
+        # correctness-neutral.
         band = min(G + 1,
-                   -(-(side + 1) * max(G // max(nty, 1), 1) * 2 // 512) * 512)
+                   -(-side * max(G // max(nty, 1), 1) * 5 // (4 * 512)) * 512)
         attrs = ops.banded_gather(table_s, tile_gauss, rowstart,
                                   nty, side - 1, band)
     else:

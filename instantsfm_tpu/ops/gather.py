@@ -175,10 +175,14 @@ def _bg_bwd(nty, margin, band, res, g):
             loc = ids[r] - s
             oh = (iota[:, None] == loc[None, :]).astype(gg.dtype)  # [band, E]
             v = gg[r]                                              # [E, Ff]
-            hi = v.astype(jnp.bfloat16).astype(v.dtype)
-            lo = v - hi
-            d = (jnp.dot(oh, hi, preferred_element_type=v.dtype)
-                 + jnp.dot(oh, lo, preferred_element_type=v.dtype))
+            if os.environ.get("ISFM_GS_BAND_1PASS"):
+                # ceiling probe: single bf16 pass (~4e-3 rel grad noise)
+                d = jnp.dot(oh, v, preferred_element_type=v.dtype)
+            else:
+                hi = v.astype(jnp.bfloat16).astype(v.dtype)
+                lo = v - hi
+                d = (jnp.dot(oh, hi, preferred_element_type=v.dtype)
+                     + jnp.dot(oh, lo, preferred_element_type=v.dtype))
             cur = jax.lax.dynamic_slice(acc, (s, 0), (band, Ff))
             return jax.lax.dynamic_update_slice(acc, cur + d, (s, 0))
 
