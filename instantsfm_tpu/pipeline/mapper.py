@@ -149,7 +149,8 @@ def _solve_impl(view_graph: ViewGraph, cameras: Cameras,
         relpose.undistort_images(cameras, images, dtype)
         tracks = positioning.global_positioning(
             cameras, images, tracks, config.GLOBAL_POSITIONER_OPTIONS,
-            depths_available=depths_available, dtype=dtype)
+            depths_available=depths_available, dtype=dtype,
+            view_graph=view_graph)
         _viz("global_positioning")
         tracks = track_filters.filter_tracks_by_angle(
             cameras, images, tracks,
