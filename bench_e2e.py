@@ -163,18 +163,32 @@ def device_peak_gb():
     (VERDICT r4 weak #7: the axon backend reported 0.0 through
     ``peak_bytes_in_use``).  Tries the known PJRT stat spellings and falls
     back to live ``bytes_in_use`` so the artifact is at least a measured
-    lower bound; returns GB, or None if the backend exposes nothing."""
+    lower bound; returns (GB, source_key) or None."""
     import jax
 
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
     except Exception:
-        return None
+        stats = {}
     for key in ("peak_bytes_in_use", "max_bytes_in_use", "peak_bytes",
                 "largest_alloc_size", "bytes_in_use"):
         v = stats.get(key, 0)
         if v:
-            return round(v / 1e9, 3)
+            return (round(v / 1e9, 3), key)
+    # axon returns memory_stats() = None (probed r5): fall back to summing
+    # live device arrays — a measured LOWER bound (excludes compiled-program
+    # temps; those are covered separately by tools/probe_lm_compile.py's
+    # HLO peaks)
+    try:
+        dev_kind = jax.local_devices()[0].platform
+        total = sum(getattr(a, "nbytes", 0) for a in jax.live_arrays()
+                    if getattr(a, "sharding", None) is not None
+                    and any(d.platform == dev_kind
+                            for d in a.sharding.device_set))
+        if total:
+            return (round(total / 1e9, 3), "live_arrays_lower_bound")
+    except Exception:
+        pass
     return None
 
 
@@ -215,7 +229,8 @@ def run_pipeline(dbpath, num_cams, log):
     import jax
 
     peak_host_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    peak_dev_gb = device_peak_gb()
+    peak = device_peak_gb()
+    peak_dev_gb, peak_dev_src = peak if peak else (None, None)
     rec = {
         "images_per_sec": round(num_cams / total, 3),
         "total_sec": round(total, 2),
@@ -225,8 +240,8 @@ def run_pipeline(dbpath, num_cams, log):
         "tracks": int(tracks.num_tracks),
         "lm_iters": lm_stats,     # per-solve LM iteration counts (variance)
         "peak_host_gb": round(peak_host_gb, 2),
-        "peak_device_gb": (round(peak_dev_gb, 2)
-                           if peak_dev_gb is not None else None),
+        "peak_device_gb": peak_dev_gb,
+        "peak_device_src": peak_dev_src,
     }
     return rec, images
 
