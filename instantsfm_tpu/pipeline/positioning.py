@@ -31,7 +31,7 @@ from instantsfm_tpu.solve.problems import make_gp_problem
 
 
 def _tree_init(view_graph, images, tracks, reg_idx, dense, scene_scale):
-    """Spanning-tree direction init (r5, BEYOND-reference improvement).
+    """Spanning-tree direction init (r5; opt-in, measured negative at 500).
 
     The reference initializes positions RANDOMLY (InitializeRandomPositions,
     ``global_positioning.py:23-39``), which costs ~2-3x more LM iterations
@@ -159,7 +159,13 @@ def global_positioning(cameras: Cameras, images: Images, tracks: Tracks,
             scene_scale = float(np.mean(valid)) * 4.0
     centers = scene_scale * rng.uniform(-1, 1, (len(reg_idx), 3))
     points = scene_scale * rng.uniform(-1, 1, (tracks.num_tracks, 3))
-    if view_graph is not None and not depths_available:
+    # r5 MEASURED NEGATIVE (PERF_NOTES): the spanning-tree direction init
+    # produces a consistent-but-wrong-SCALE start (unit edge steps) that
+    # traps the projective-scale LM: at 500 images GP took 356 s / worse
+    # positions (ate 0.054 vs 0.0027) vs the reference's random init.
+    # Kept opt-in for graphs with reliable relative scales.
+    if (view_graph is not None and not depths_available
+            and opts.get("init") == "tree"):
         init = _tree_init(view_graph, images, tracks, reg_idx, dense,
                           scene_scale)
         if init is not None:
