@@ -180,13 +180,8 @@ def device_peak_gb():
     # temps; those are covered separately by tools/probe_lm_compile.py's
     # HLO peaks)
     try:
-        dev_kind = jax.local_devices()[0].platform
-        total = sum(getattr(a, "nbytes", 0) for a in jax.live_arrays()
-                    if getattr(a, "sharding", None) is not None
-                    and any(d.platform == dev_kind
-                            for d in a.sharding.device_set))
-        if total:
-            return (round(total / 1e9, 3), "live_arrays_lower_bound")
+        total = sum(getattr(a, "nbytes", 0) for a in jax.live_arrays())
+        return (round(total / 1e9, 3), "live_arrays_lower_bound")
     except Exception:
         pass
     return None
@@ -207,8 +202,16 @@ def run_pipeline(dbpath, num_cams, log):
     view_graph, cameras, images, feature_name = read_colmap_database(dbpath)
     t_read = time.time() - t_start
     config = Config(feature_name)
+    dev_peak = [0.0]
+
+    def _sample_mem(*_a):
+        p = device_peak_gb()
+        if p:
+            dev_peak[0] = max(dev_peak[0], p[0])
+
     cameras, images, tracks, timings = solve_global_mapper(
-        view_graph, cameras, images, config, dtype=jnp.float32, log=log)
+        view_graph, cameras, images, config, dtype=jnp.float32, log=log,
+        stage_hook=_sample_mem)
     lm_stats = _dbg.drain_stats()
 
     out = "/tmp/bench_e2e_sparse"
@@ -231,6 +234,11 @@ def run_pipeline(dbpath, num_cams, log):
     peak_host_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     peak = device_peak_gb()
     peak_dev_gb, peak_dev_src = peak if peak else (None, None)
+    if peak_dev_src == "live_arrays_lower_bound":
+        # stage-boundary samples catch the resident working set while the
+        # big stages are alive (a lower bound: compiled-program temps and
+        # mid-stage transients are not visible to live_arrays)
+        peak_dev_gb = round(max(dev_peak[0], peak_dev_gb or 0.0), 3)
     rec = {
         "images_per_sec": round(num_cams / total, 3),
         "total_sec": round(total, 2),
