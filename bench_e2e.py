@@ -213,6 +213,7 @@ def run_pipeline(dbpath, num_cams, log):
         view_graph, cameras, images, config, dtype=jnp.float32, log=log,
         stage_hook=_sample_mem)
     lm_stats = _dbg.drain_stats()
+    live_gb = lm_stats.pop("device_live_gb", [])
 
     out = "/tmp/bench_e2e_sparse"
     t0 = time.time()
@@ -235,10 +236,12 @@ def run_pipeline(dbpath, num_cams, log):
     peak = device_peak_gb()
     peak_dev_gb, peak_dev_src = peak if peak else (None, None)
     if peak_dev_src == "live_arrays_lower_bound":
-        # stage-boundary samples catch the resident working set while the
-        # big stages are alive (a lower bound: compiled-program temps and
-        # mid-stage transients are not visible to live_arrays)
-        peak_dev_gb = round(max(dev_peak[0], peak_dev_gb or 0.0), 3)
+        # in-solve samples (block_lm.optimize records the resident set at
+        # LM iteration 0 of every solve) catch the working set while the
+        # big stages are alive; still a lower bound (compiled-program
+        # temps are invisible to live_arrays)
+        peak_dev_gb = round(max([dev_peak[0], peak_dev_gb or 0.0]
+                                + list(live_gb)), 3)
     rec = {
         "images_per_sec": round(num_cams / total, 3),
         "total_sec": round(total, 2),

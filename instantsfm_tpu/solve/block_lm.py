@@ -1194,9 +1194,21 @@ def optimize(problem: BlockProblem, kernel: robust_mod.RobustKernel,
 
     for it in range(cfg.max_iterations):
         state = step(state, obs)
-        if _dbg.ENABLED and it == 0:
-            print(f"    [t] lm first dispatch: {_time.time() - _t_loop:.2f}s",
-                  flush=True)
+        if it == 0:
+            if _dbg.ENABLED:
+                print(f"    [t] lm first dispatch: "
+                      f"{_time.time() - _t_loop:.2f}s", flush=True)
+            # resident device working set while the solve is live — the only
+            # device-memory signal this backend exposes (memory_stats() is
+            # None on axon; a lower bound: excludes compiled-program temps)
+            try:
+                plat = jax.local_devices()[0].platform
+                gb = sum(a.nbytes for a in jax.live_arrays()
+                         if any(d.platform == plat
+                                for d in a.sharding.device_set)) / 1e9
+                _dbg.stat_add("device_live_gb", round(gb, 3))
+            except Exception:
+                pass
         if callback is not None:
             callback(it, state)
         if pending is not None:
