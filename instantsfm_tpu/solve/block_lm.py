@@ -1104,14 +1104,20 @@ def lm_step(problem: BlockProblem, kernel: robust_mod.RobustKernel,
         lambda c, p: jnp.where(accepted, c, p), cand, params)
     cost_next = jnp.where(accepted, sys.cost + dc, sys.cost)
     dcost = jnp.where(accepted, dc, jnp.zeros_like(dc))
-    leaves_c = jax.tree_util.tree_leaves(cand)
-    leaves_p = jax.tree_util.tree_leaves(params)
-    sq = sum(jnp.sum(jnp.square(c - p)) for c, p in zip(leaves_c, leaves_p)
-             if jnp.issubdtype(c.dtype, jnp.floating))
-    pq = sum(jnp.sum(jnp.square(p)) for p in leaves_p
-             if jnp.issubdtype(p.dtype, jnp.floating))
-    rstep = jnp.sqrt(_ar(sq, axis_name) / jnp.maximum(_ar(pq, axis_name),
-                                                      1e-30))
+    # camera blocks are REPLICATED under shard_map while pts/scales are
+    # sharded: psum only the sharded contributions so the ratio matches the
+    # single-device value
+    def _sq(tree_a, tree_b=None):
+        leaves_a = jax.tree_util.tree_leaves(tree_a)
+        leaves_b = (jax.tree_util.tree_leaves(tree_b) if tree_b is not None
+                    else [None] * len(leaves_a))
+        return sum(jnp.sum(jnp.square(a - b if b is not None else a))
+                   for a, b in zip(leaves_a, leaves_b)
+                   if jnp.issubdtype(a.dtype, jnp.floating))
+    sq = _sq(cand.cam, params.cam)         + _ar(_sq(cand.pts, params.pts) + _sq(cand.scales, params.scales),
+              axis_name)
+    pq = _sq(params.cam)         + _ar(_sq(params.pts) + _sq(params.scales), axis_name)
+    rstep = jnp.sqrt(sq / jnp.maximum(pq, 1e-30))
     rstep = jnp.where(accepted, rstep.astype(cost_next.dtype),
                       jnp.zeros_like(cost_next))
     return LMState(params_next, lam_next, cost_next, dcost, rstep)
